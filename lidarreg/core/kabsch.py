@@ -85,12 +85,158 @@ def eigh4_leading(N: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
 
 
-def rotation_from_covariance(H: jnp.ndarray) -> jnp.ndarray:
+_NEWTON_ITERS = 24
+
+
+def qcp_quaternion_comps(Sxx, Sxy, Sxz, Syx, Syy, Syz, Szx, Szy, Szz):
+    """Leading eigenvector of Horn's profile matrix via the QCP method.
+
+    Theobald's quaternion-characteristic-polynomial approach (Acta Cryst.
+    A61:478, 2005): the 4x4 profile matrix N is traceless symmetric, so its
+    characteristic polynomial is a depressed quartic P(x) = x^4 + C2 x^2 +
+    C1 x + C0 whose coefficients are closed-form in the cross-covariance
+    entries. Newton from an upper bound converges monotonically to the
+    largest eigenvalue; the eigenvector is a maximal-norm row of adj(N - xI).
+
+    Takes the 9 cross-covariance entries as separate same-shaped arrays and
+    returns the quaternion as 4 arrays (SoA): everything stays elementwise,
+    so a [K]-batch never materializes padded [..., 3, 3] / [..., 4] minor
+    dims (TPU tiles pad minor dims to 128 lanes — a ~40x HBM blowup at
+    1M-hypothesis scale). This is the RANSAC hot path; the Jacobi solver
+    above is the high-accuracy fallback.
+    """
+    Sxx2, Syy2, Szz2 = Sxx * Sxx, Syy * Syy, Szz * Szz
+    Sxy2, Syx2 = Sxy * Sxy, Syx * Syx
+    Sxz2, Szx2 = Sxz * Sxz, Szx * Szx
+    Syz2, Szy2 = Syz * Syz, Szy * Szy
+
+    C2 = -2.0 * (Sxx2 + Syy2 + Szz2 + Sxy2 + Syx2 + Sxz2 + Szx2 + Syz2 + Szy2)
+    C1 = 8.0 * (
+        Sxx * Syz * Szy + Syy * Szx * Sxz + Szz * Sxy * Syx
+        - Sxx * Syy * Szz - Syz * Szx * Sxy - Szy * Syx * Sxz
+    )
+
+    SxzpSzx, SyzpSzy, SxypSyx = Sxz + Szx, Syz + Szy, Sxy + Syx
+    SyzmSzy, SxzmSzx, SxymSyx = Syz - Szy, Sxz - Szx, Sxy - Syx
+    SxxpSyy, SxxmSyy = Sxx + Syy, Sxx - Syy
+    Sxy2Sxz2Syx2Szx2 = Sxy2 + Sxz2 - Syx2 - Szx2
+    Sxx2Syy2Szz2Syz2Szy2 = Syy2 + Szz2 - Sxx2 + Syz2 + Szy2
+    SyzSzymSyySzz2 = 2.0 * (Syz * Szy - Syy * Szz)
+
+    C0 = (
+        Sxy2Sxz2Syx2Szx2 * Sxy2Sxz2Syx2Szx2
+        + (Sxx2Syy2Szz2Syz2Szy2 + SyzSzymSyySzz2)
+        * (Sxx2Syy2Szz2Syz2Szy2 - SyzSzymSyySzz2)
+        + (-SxzpSzx * SyzmSzy + SxymSyx * (SxxmSyy - Szz))
+        * (-SxzmSzx * SyzpSzy + SxymSyx * (SxxmSyy + Szz))
+        + (-SxzpSzx * SyzpSzy - SxypSyx * (SxxpSyy - Szz))
+        * (-SxzmSzx * SyzmSzy - SxypSyx * (SxxpSyy + Szz))
+        + (SxypSyx * SyzpSzy + SxzpSzx * (SxxmSyy + Szz))
+        * (-SxymSyx * SyzmSzy + SxzpSzx * (SxxpSyy + Szz))
+        + (SxypSyx * SyzmSzy + SxzmSzx * (SxxmSyy - Szz))
+        * (-SxymSyx * SyzpSzy + SxzmSzx * (SxxpSyy - Szz))
+    )
+
+    # Upper bound on the spectral radius: Frobenius norm of N = sqrt(-2*C2/... )
+    # For the traceless symmetric N, |N|_F^2 = sum(eig^2) = -2 * C2... actually
+    # tr(N^2) = 2 * (sum of all S^2 terms) * 2 = -2*C2. Start above lam_max.
+    lam = jnp.sqrt(jnp.maximum(-2.0 * C2, 0.0) * 0.5) + 1e-12
+
+    def newton(_, x):
+        x2 = x * x
+        b = (x2 + C2) * x
+        a = b + C1
+        num = a * x + C0
+        den = 2.0 * x2 * x + b + a
+        den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+        return x - num / den
+
+    lam = lax.fori_loop(0, _NEWTON_ITERS, newton, lam)
+
+    # Eigenvector = maximal-norm row of adj(N - lam*I), computed as 3x3
+    # cofactors of each row (branch-free version of qcprot's fallback chain).
+    a11 = SxxpSyy + Szz - lam
+    a12 = SyzmSzy
+    a13 = -SxzmSzx
+    a14 = SxymSyx
+    a21 = SyzmSzy
+    a22 = SxxmSyy - Szz - lam
+    a23 = SxypSyx
+    a24 = SxzpSzx
+    a31 = a13
+    a32 = a23
+    a33 = Syy - Sxx - Szz - lam
+    a34 = SyzpSzy
+    a41 = a14
+    a42 = a24
+    a43 = a34
+    a44 = Szz - SxxpSyy - lam
+
+    def det3(m11, m12, m13, m21, m22, m23, m31, m32, m33):
+        return (
+            m11 * (m22 * m33 - m23 * m32)
+            - m12 * (m21 * m33 - m23 * m31)
+            + m13 * (m21 * m32 - m22 * m31)
+        )
+
+    rows = []
+    full = [
+        [a11, a12, a13, a14],
+        [a21, a22, a23, a24],
+        [a31, a32, a33, a34],
+        [a41, a42, a43, a44],
+    ]
+    for r in range(4):
+        sub = [full[i] for i in range(4) if i != r]
+        comps = []
+        for c in range(4):
+            cols = [j for j in range(4) if j != c]
+            d = det3(
+                sub[0][cols[0]], sub[0][cols[1]], sub[0][cols[2]],
+                sub[1][cols[0]], sub[1][cols[1]], sub[1][cols[2]],
+                sub[2][cols[0]], sub[2][cols[1]], sub[2][cols[2]],
+            )
+            sign = (-1.0) ** (r + c)
+            comps.append(sign * d)
+        rows.append(tuple(comps))
+
+    # Max-norm row selection, elementwise (no [..., 4] stacking / argmax).
+    def row_norm(row):
+        return row[0] * row[0] + row[1] * row[1] + row[2] * row[2] + row[3] * row[3]
+
+    def pick(row_a, norm_a, row_b, norm_b):
+        better = norm_a >= norm_b
+        row = tuple(jnp.where(better, x, y) for x, y in zip(row_a, row_b))
+        return row, jnp.maximum(norm_a, norm_b)
+
+    r01, n01 = pick(rows[0], row_norm(rows[0]), rows[1], row_norm(rows[1]))
+    r23, n23 = pick(rows[2], row_norm(rows[2]), rows[3], row_norm(rows[3]))
+    q, _ = pick(r01, n01, r23, n23)
+    return q  # (qw, qx, qy, qz) component tuple
+
+
+def quat_comps_to_rotation_comps(qw, qx, qy, qz):
+    """Unit-quaternion components -> 9 rotation-matrix components (SoA).
+
+    Row-major order (r00, r01, r02, r10, ..., r22). Normalizes internally;
+    an all-zero quaternion maps to the identity rotation.
+    """
+    inv = 1.0 / jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-24)
+    w, x, y, z = qw * inv, qx * inv, qy * inv, qz * inv
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
+def rotation_from_covariance(H: jnp.ndarray, method: str = "qcp") -> jnp.ndarray:
     """Optimal rotation R (maps src -> tgt) from cross-covariance H [..., 3, 3].
 
     H[i, j] = sum_k w_k * a_k[i] * b_k[j] with a = centered source points and
-    b = centered target points. SVD-free: leading eigenvector of Horn's 4x4
-    profile matrix via the fixed-sweep Jacobi solver above.
+    b = centered target points. SVD-free:
+      method="qcp"    — QCP Newton + adjugate (hot path, pure elementwise);
+      method="jacobi" — fixed-sweep Jacobi on Horn's 4x4 (high accuracy).
     """
     dtype = H.dtype
     H32 = H.astype(jnp.float32)
@@ -98,8 +244,18 @@ def rotation_from_covariance(H: jnp.ndarray) -> jnp.ndarray:
     scale = jnp.maximum(
         jnp.max(jnp.abs(H32), axis=(-2, -1), keepdims=True), 1e-30
     )
-    N = _horn_profile_matrix(H32 / scale)
-    q = eigh4_leading(N)
+    Hn = H32 / scale
+    if method == "qcp":
+        qc = qcp_quaternion_comps(
+            Hn[..., 0, 0], Hn[..., 0, 1], Hn[..., 0, 2],
+            Hn[..., 1, 0], Hn[..., 1, 1], Hn[..., 1, 2],
+            Hn[..., 2, 0], Hn[..., 2, 1], Hn[..., 2, 2],
+        )
+        q = jnp.stack(qc, axis=-1)
+    elif method == "jacobi":
+        q = eigh4_leading(_horn_profile_matrix(Hn))
+    else:
+        raise ValueError(f"unknown method: {method}")
     return quat_to_rotation(q).astype(dtype)
 
 
@@ -108,6 +264,7 @@ def weighted_kabsch(
     B: jnp.ndarray,
     weights: jnp.ndarray | None = None,
     weight_threshold: float = 0.0,
+    method: str = "qcp",
 ):
     """Weighted rigid alignment: find (R, t) minimizing sum w |R a + t - b|^2.
 
@@ -126,9 +283,15 @@ def weighted_kabsch(
     centroid_B = jnp.sum(B * weights[..., None], axis=-2) / wsum
     Am = A - centroid_A[..., None, :]
     Bm = B - centroid_B[..., None, :]
-    H = jnp.einsum("...ni,...n,...nj->...ij", Am, weights, Bm, precision="highest")
-    R = rotation_from_covariance(H)
-    t = centroid_B - jnp.einsum("...ij,...j->...i", R, centroid_A, precision="highest")
+    # H as broadcast outer-product sum, NOT an einsum: a batched 3x3 matmul
+    # gets padded to (8,128) MXU tiles on TPU — a >30x memory blowup at
+    # 1M-hypothesis batch sizes. Elementwise keeps it on the VPU.
+    H = jnp.sum(
+        Am[..., :, :, None] * (weights[..., :, None, None] * Bm[..., :, None, :]),
+        axis=-3,
+    )
+    R = rotation_from_covariance(H, method=method)
+    t = centroid_B - jnp.sum(R * centroid_A[..., None, :], axis=-1)
     return R, t
 
 

@@ -1,0 +1,111 @@
+"""Tests for the batched RANSAC hypothesis engine."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidarreg.core import registration_success
+from lidarreg.core.se3 import euler_to_rotation
+from lidarreg.solvers import ransac_register, RansacConfig
+
+
+def make_problem(rng, n=2048, inlier_frac=0.3, noise=0.05, spread=50.0):
+    R = np.asarray(euler_to_rotation(jnp.asarray(rng.uniform(-0.1, 0.1, 3) + [0, 0, rng.uniform(-np.pi, np.pi)])))
+    t = rng.uniform(-5, 5, 3)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    src = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    src[:, 2] = rng.uniform(-3, 3, size=n)  # LiDAR-like: flat in z
+    tgt = (src @ R.T + t).astype(np.float32)
+    n_out = int(n * (1 - inlier_frac))
+    out_sel = rng.choice(n, n_out, replace=False)
+    tgt[out_sel] = rng.uniform(-spread, spread, size=(n_out, 3))
+    tgt += rng.normal(size=(n, 3)).astype(np.float32) * noise
+    is_inlier = np.ones(n, bool)
+    is_inlier[out_sel] = False
+    return src, tgt, T, is_inlier
+
+
+CFG_FAST = RansacConfig(num_hypotheses=8192, chunk_size=2048, stage1_samples=256,
+                        top_k=64, refit_iters=3)
+
+
+class TestRansac:
+    def test_recovers_transform(self, rng):
+        src, tgt, T_gt, _ = make_problem(rng)
+        res = ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(len(src), bool),
+            jax.random.PRNGKey(0), CFG_FAST,
+        )
+        ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
+        assert bool(ok), f"RE={float(re):.2f} TE={float(te):.2f}"
+        assert float(re) < 1.0 and float(te) < 0.2
+
+    def test_low_inlier_ratio(self, rng):
+        src, tgt, T_gt, _ = make_problem(rng, n=4096, inlier_frac=0.1)
+        cfg = CFG_FAST._replace(num_hypotheses=32768, chunk_size=8192)
+        res = ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(len(src), bool),
+            jax.random.PRNGKey(1), cfg,
+        )
+        ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
+        assert bool(ok), f"RE={float(re):.2f} TE={float(te):.2f}"
+
+    def test_keep_mask_excludes_poison(self, rng):
+        # all pairs outside `keep` are adversarial outliers; engine must not
+        # sample them and must still succeed
+        src, tgt, T_gt, is_inl = make_problem(rng, n=1024, inlier_frac=0.8)
+        keep = np.zeros(1024, bool)
+        keep[is_inl] = True
+        res = ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(keep),
+            jax.random.PRNGKey(2), CFG_FAST,
+        )
+        ok, _, _ = registration_success(res.transform, jnp.asarray(T_gt))
+        assert bool(ok)
+        assert int(res.num_kept) == int(is_inl.sum())
+
+    def test_prosac_with_quality(self, rng):
+        src, tgt, T_gt, is_inl = make_problem(rng, n=2048, inlier_frac=0.2)
+        # quality correlates with inlierness (as feature ratio does)
+        quality = np.where(is_inl, 1.0, 0.0) + rng.normal(size=2048) * 0.3
+        cfg = CFG_FAST._replace(prosac=True, num_hypotheses=4096)
+        res = ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(2048, bool),
+            jax.random.PRNGKey(3), cfg, quality=jnp.asarray(quality.astype(np.float32)),
+        )
+        ok, _, _ = registration_success(res.transform, jnp.asarray(T_gt))
+        assert bool(ok)
+
+    def test_elc_rejects_scale_mismatch(self, rng):
+        # targets scaled 2x: every hypothesis violates edge-length constraint
+        src = rng.uniform(-20, 20, size=(512, 3)).astype(np.float32)
+        tgt = (src * 2.0).astype(np.float32)
+        res = ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool),
+            jax.random.PRNGKey(4), CFG_FAST._replace(num_hypotheses=2048, chunk_size=1024),
+        )
+        assert int(res.inlier_count) <= 0  # no hypothesis passed ELC
+
+    def test_jit_and_determinism(self, rng):
+        src, tgt, T_gt, _ = make_problem(rng, n=1024)
+        fn = jax.jit(
+            lambda s, t, k: ransac_register(s, t, jnp.ones(1024, bool), k, CFG_FAST)
+        )
+        r1 = fn(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(7))
+        r2 = fn(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(r1.transform), np.asarray(r2.transform))
+
+    def test_refit_mask_wider_than_keep(self, rng):
+        src, tgt, T_gt, is_inl = make_problem(rng, n=2048, inlier_frac=0.5)
+        keep = np.zeros(2048, bool)
+        keep[np.nonzero(is_inl)[0][:200]] = True  # sample from a small subset
+        res = ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(keep),
+            jax.random.PRNGKey(5), CFG_FAST,
+            refit_mask=jnp.ones(2048, bool),
+        )
+        ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
+        assert bool(ok)
+        # refit over the full set should find most true inliers
+        assert int(res.inlier_mask.sum()) > 0.8 * is_inl.sum()

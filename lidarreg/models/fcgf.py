@@ -1,0 +1,220 @@
+"""FCGF feature encoder: sparse ResUNetBN2C over the TPU sparse-conv engine.
+
+Parity target: Experiments/misc/fcgf.py:621-868 (ResUNet2 family; the
+benchmark uses ResUNetBN2C with in=1, out=32, bn_momentum=0.05,
+conv1_kernel_size=5, normalize_feature=True — instantiated at
+Experiments/datasets/LidarFeatureExtractor.py:71-76 and
+FCGF_FAST/model/resunet.py:1223-1245).
+
+Channel plan (fcgf.py:864-868): CHANNELS [_, 32, 64, 128, 256],
+TR_CHANNELS [_, 64, 64, 64, 128].
+
+U-Net coordinate discipline: each decoder level's output coordinate set is
+the matching encoder level's set (ME shares them through its coordinate
+manager; here we pass the stored encoder coords to conv_tr), which makes the
+ME.cat skip connections (fcgf.py:824-843) an exact channel concat.
+
+Performance discipline: all hash tables and kernel maps are computed ONCE in
+the forward (one per coordinate-set/offset-pattern pair — 9 maps total) and
+shared across every conv at that level; each conv is then a single gather +
+MXU matmul (sparse/conv.py docstring).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..sparse.conv import apply_conv, kernel_map, table_for
+from ..sparse.hashtable import build_table
+from ..sparse.tensor import SparseTensor, downsample_coords, kernel_offsets
+
+
+class SparseConvLayer(nn.Module):
+    """One sparse conv with an externally-supplied kernel map.
+
+    kernel_size==1 needs no map (pure per-voxel dense matmul).
+    """
+
+    out_channels: int
+    kernel_size: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, feats, valid, kmap=None):
+        j = self.kernel_size**3
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (j, feats.shape[-1], self.out_channels),
+        )
+        if self.kernel_size == 1:
+            out = jnp.dot(feats, w[0], preferred_element_type=jnp.float32)
+            out = out * valid[:, None]
+        else:
+            out = apply_conv(feats, kmap, w, valid)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = (out + b) * valid[:, None]
+        return out
+
+
+class SparseBatchNorm(nn.Module):
+    """BatchNorm over valid voxels only (ME BN normalizes over all points)."""
+
+    momentum: float = 0.05  # reference bn_momentum (torch convention)
+
+    @nn.compact
+    def __call__(self, feats, valid, train: bool):
+        c = feats.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (c,))
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (c,))
+
+        if train:
+            m = valid.astype(jnp.float32)[:, None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(feats * m, axis=0) / n
+            var = jnp.sum(((feats - mean) ** 2) * m, axis=0) / n
+            if not self.is_initializing():
+                # torch-style update: new = (1 - mom) * old + mom * batch
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        f = (feats - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+        return f * valid[:, None]
+
+
+class BasicBlockBN(nn.Module):
+    """conv3-BN-relu-conv3-BN + skip, relu (fcgf.py:107-158)."""
+
+    channels: int
+    bn_momentum: float = 0.05
+
+    @nn.compact
+    def __call__(self, feats, valid, kmap, train: bool):
+        residual = feats
+        out = SparseConvLayer(self.channels, 3, name="conv1")(feats, valid, kmap)
+        out = SparseBatchNorm(self.bn_momentum, name="norm1")(out, valid, train)
+        out = nn.relu(out)
+        out = SparseConvLayer(self.channels, 3, name="conv2")(out, valid, kmap)
+        out = SparseBatchNorm(self.bn_momentum, name="norm2")(out, valid, train)
+        return nn.relu((out + residual) * valid[:, None])
+
+
+class ResUNetBN2C(nn.Module):
+    """The FCGF benchmark network (4-level sparse U-Net, 32-D output)."""
+
+    in_channels: int = 1
+    out_channels: int = 32
+    bn_momentum: float = 0.05
+    conv1_kernel_size: int = 5
+    normalize_feature: bool = True
+    channels: Sequence[int] = (0, 32, 64, 128, 256)
+    tr_channels: Sequence[int] = (0, 64, 64, 64, 128)
+    # Capacity of each stride level (level 0 = input capacity). Conservative
+    # defaults: a level whose true voxel count exceeds its capacity silently
+    # drops voxels (and with it, padding invariance) — real LiDAR reduces
+    # ~3-4x per stride level, synthetic/uniform clouds reduce far less.
+    level_capacity_div: Sequence[int] = (1, 1, 2, 4)
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
+        CH, TR = self.channels, self.tr_channels
+        cap = x.capacity
+        caps = [max(256, cap // d) for d in self.level_capacity_div]
+        bm = self.bn_momentum
+        s = x.stride
+
+        # ---- coordinate sets, tables, kernel maps (once per level) ------ #
+        c1, v1 = x.coords, x.valid
+        t1 = table_for(x)
+        c2, v2 = downsample_coords(c1, v1, s, caps[1])
+        c4, v4 = downsample_coords(c2, v2, 2 * s, caps[2])
+        c8, v8 = downsample_coords(c4, v4, 4 * s, caps[3])
+
+        def mk_table(coords, valid, capacity):
+            # per-side cuckoo size (total 2x => combined load <= 12.5%)
+            size = 1
+            while size < 4 * capacity:
+                size *= 2
+            table, _ = build_table(coords, valid, size)
+            return table
+
+        t2 = mk_table(c2, v2, caps[1])
+        t4 = mk_table(c4, v4, caps[2])
+        t8 = mk_table(c8, v8, caps[3])
+
+        def km(table, tv, coords, valid, k, units):
+            return kernel_map(table, tv, coords, valid, kernel_offsets(k, units))
+
+        km1_c1 = km(t1, v1, c1, v1, self.conv1_kernel_size, s)   # conv1 (k5)
+        km1 = km(t1, v1, c1, v1, 3, s)                           # L1 blocks
+        km2 = km(t2, v2, c2, v2, 3, 2 * s)
+        km4 = km(t4, v4, c4, v4, 3, 4 * s)
+        km8 = km(t8, v8, c8, v8, 3, 8 * s)
+        km_d12 = km(t1, v1, c2, v2, 3, s)        # stride-2 convs (down)
+        km_d24 = km(t2, v2, c4, v4, 3, 2 * s)
+        km_d48 = km(t4, v4, c8, v8, 3, 4 * s)
+        km_u84 = km(t8, v8, c4, v4, 3, 4 * s)    # conv_tr (up), offsets in
+        km_u42 = km(t4, v4, c2, v2, 3, 2 * s)    # OUTPUT-stride units
+        km_u21 = km(t2, v2, c1, v1, 3, s)
+
+        # ---- encoder ----------------------------------------------------- #
+        out_s1 = SparseConvLayer(CH[1], self.conv1_kernel_size, name="conv1")(
+            x.feats, v1, km1_c1
+        )
+        out_s1 = SparseBatchNorm(bm, name="norm1")(out_s1, v1, train)
+        out_s1 = BasicBlockBN(CH[1], bm, name="block1")(out_s1, v1, km1, train)
+        out = nn.relu(out_s1)
+
+        out_s2 = SparseConvLayer(CH[2], 3, name="conv2")(out, v2, km_d12)
+        out_s2 = SparseBatchNorm(bm, name="norm2")(out_s2, v2, train)
+        out_s2 = BasicBlockBN(CH[2], bm, name="block2")(out_s2, v2, km2, train)
+        out = nn.relu(out_s2)
+
+        out_s4 = SparseConvLayer(CH[3], 3, name="conv3")(out, v4, km_d24)
+        out_s4 = SparseBatchNorm(bm, name="norm3")(out_s4, v4, train)
+        out_s4 = BasicBlockBN(CH[3], bm, name="block3")(out_s4, v4, km4, train)
+        out = nn.relu(out_s4)
+
+        out_s8 = SparseConvLayer(CH[4], 3, name="conv4")(out, v8, km_d48)
+        out_s8 = SparseBatchNorm(bm, name="norm4")(out_s8, v8, train)
+        out_s8 = BasicBlockBN(CH[4], bm, name="block4")(out_s8, v8, km8, train)
+        out = nn.relu(out_s8)
+
+        # ---- decoder (coords reuse encoder levels) ------------------------ #
+        out = SparseConvLayer(TR[4], 3, name="conv4_tr")(out, v4, km_u84)
+        out = SparseBatchNorm(bm, name="norm4_tr")(out, v4, train)
+        out = BasicBlockBN(TR[4], bm, name="block4_tr")(out, v4, km4, train)
+        out_s4_tr = nn.relu(out)
+
+        out = jnp.concatenate([out_s4_tr, out_s4], axis=1)
+
+        out = SparseConvLayer(TR[3], 3, name="conv3_tr")(out, v2, km_u42)
+        out = SparseBatchNorm(bm, name="norm3_tr")(out, v2, train)
+        out = BasicBlockBN(TR[3], bm, name="block3_tr")(out, v2, km2, train)
+        out_s2_tr = nn.relu(out)
+
+        out = jnp.concatenate([out_s2_tr, out_s2], axis=1)
+
+        out = SparseConvLayer(TR[2], 3, name="conv2_tr")(out, v1, km_u21)
+        out = SparseBatchNorm(bm, name="norm2_tr")(out, v1, train)
+        out = BasicBlockBN(TR[2], bm, name="block2_tr")(out, v1, km1, train)
+        out_s1_tr = nn.relu(out)
+
+        out = jnp.concatenate([out_s1_tr, out_s1], axis=1)
+        out = SparseConvLayer(TR[1], 1, name="conv1_tr")(out, v1)
+        out = nn.relu(out)
+        out = SparseConvLayer(self.out_channels, 1, use_bias=True, name="final")(
+            out, v1
+        )
+
+        if self.normalize_feature:
+            out = out / (jnp.linalg.norm(out, axis=1, keepdims=True) + 1e-8)
+            out = out * v1[:, None]
+        return SparseTensor(c1, out, v1, s)

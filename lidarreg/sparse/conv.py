@@ -1,0 +1,142 @@
+"""Sparse convolution as hash-lookup kernel maps + one MXU matmul per layer.
+
+Replaces MinkowskiEngine's generalized sparse convolution (SURVEY.md §2a).
+Performance structure (v5e-profiled):
+
+  * the KERNEL MAP (neighbor row index per kernel offset) is computed once
+    per (coordinate set, offset pattern) and shared by every conv at that
+    U-Net level — ME's coordinate manager caches kernel maps the same way;
+  * hash lookups early-exit through a `lax.while_loop` (average <2 probe
+    rounds at 25% table load instead of the fixed worst case);
+  * the conv itself is img2col: one [J, Vo, Cin] neighbor gather + a single
+    (J*Cin) x Cout contraction that XLA tiles straight onto the MXU —
+    features in bf16-accumulate-f32 (weights/features are O(1) normalized;
+    coordinates never touch this path);
+  * kernel_size=1 convs skip the hash machinery entirely (pure dense).
+
+Conventions (pinned against Experiments/misc/fcgf.py + ME 0.5 semantics):
+  * a tensor at stride s has integer coords that are multiples of s;
+  * conv(kernel k, stride 1): inputs at out_c + off, off in {-r..r}^3 * s;
+  * conv(kernel 3, stride 2): out coords = unique((c // 2s) * 2s); inputs at
+    out_c + off, off in {-s, 0, s}^3 (input-stride units);
+  * conv_tr(kernel 3, stride 2): out coords = the SKIP-LEVEL coordinate set
+    (decoder levels reuse encoder coordinate sets — ME's coordinate-manager
+    sharing in the reference U-Net, fcgf.py:800-843); inputs at
+    out_c + off, off in {-s_out, 0, s_out}^3 looked up in the coarse table.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .hashtable import HashTable, build_table, lookup
+from .tensor import SparseTensor, downsample_coords, kernel_offsets
+
+
+class KernelMap(NamedTuple):
+    nb: jnp.ndarray    # [J, Vo] int32 — input row per (offset, output voxel)
+    hit: jnp.ndarray   # [J, Vo] bool  — neighbor exists and is valid
+
+
+def table_for(x: SparseTensor, table_factor: int = 4) -> HashTable:
+    # per-side cuckoo size; total table = 2 * size (combined load <= 12.5%)
+    size = 1
+    while size < table_factor * x.capacity:
+        size *= 2
+    table, _ = build_table(x.coords, x.valid, size)
+    return table
+
+
+def kernel_map(
+    in_table: HashTable,
+    in_valid: jnp.ndarray,
+    out_coords: jnp.ndarray,
+    out_valid: jnp.ndarray,
+    offsets: jnp.ndarray,
+) -> KernelMap:
+    """Neighbor map for all offsets at once: [J, Vo] lookups in one batch."""
+    queries = out_coords[None, :, :] + offsets[:, None, :]  # [J, Vo, 3]
+    nb = lookup(in_table, queries)
+    hit = (nb >= 0) & out_valid[None, :]
+    nb_safe = jnp.where(hit, nb, 0)
+    hit = hit & in_valid[nb_safe]
+    return KernelMap(nb_safe, hit)
+
+
+def apply_conv(
+    in_feats: jnp.ndarray,   # [Vi, Cin]
+    kmap: KernelMap,
+    weights: jnp.ndarray,    # [J, Cin, Cout]
+    out_valid: jnp.ndarray,  # [Vo]
+    precision: str = "default",
+) -> jnp.ndarray:
+    """img2col sparse conv: one gather + one big contraction. [Vo, Cout]."""
+    g = in_feats[kmap.nb] * kmap.hit[..., None]  # [J, Vo, Cin]
+    out = jnp.einsum(
+        "jvc,jcd->vd", g, weights,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    return out * out_valid[:, None]
+
+
+def sparse_conv(
+    x: SparseTensor,
+    weights: jnp.ndarray,   # [K^3, Cin, Cout]
+    kernel_size: int,
+    stride: int = 1,
+    out_capacity: int | None = None,
+    in_table: HashTable | None = None,
+    kmap: KernelMap | None = None,
+) -> SparseTensor:
+    """Sparse convolution; stride 1 keeps coords, stride 2 downsamples.
+
+    Pass a precomputed `kmap` (from `kernel_map`) to skip hash lookups —
+    every stride-1 conv on the same coordinate set shares one map.
+    """
+    if kernel_size == 1 and stride == 1:
+        out = jnp.dot(
+            x.feats, weights[0], preferred_element_type=jnp.float32
+        ) * x.valid[:, None]
+        return SparseTensor(x.coords, out, x.valid, x.stride)
+
+    if stride == 1:
+        out_coords, out_valid = x.coords, x.valid
+        out_stride = x.stride
+    elif stride == 2:
+        cap = out_capacity or x.capacity
+        out_coords, out_valid = downsample_coords(
+            x.coords, x.valid, x.stride, cap
+        )
+        out_stride = x.stride * 2
+    else:
+        raise ValueError("only stride 1 and 2 are used by the FCGF family")
+
+    if kmap is None:
+        if in_table is None:
+            in_table = table_for(x)
+        offsets = kernel_offsets(kernel_size, x.stride)
+        kmap = kernel_map(in_table, x.valid, out_coords, out_valid, offsets)
+
+    out = apply_conv(x.feats, kmap, weights, out_valid)
+    return SparseTensor(out_coords, out, out_valid, out_stride)
+
+
+def sparse_conv_transpose(
+    x: SparseTensor,
+    weights: jnp.ndarray,        # [K^3, Cin, Cout]
+    kernel_size: int,
+    out_coords: jnp.ndarray,     # target (finer) coordinate set
+    out_valid: jnp.ndarray,
+    out_stride: int,
+    in_table: HashTable | None = None,
+    kmap: KernelMap | None = None,
+) -> SparseTensor:
+    """Transpose (upsampling) conv onto a given finer coordinate set."""
+    if kmap is None:
+        if in_table is None:
+            in_table = table_for(x)
+        offsets = kernel_offsets(kernel_size, out_stride)
+        kmap = kernel_map(in_table, x.valid, out_coords, out_valid, offsets)
+    out = apply_conv(x.feats, kmap, weights, out_valid)
+    return SparseTensor(out_coords, out, out_valid, out_stride)

@@ -1,0 +1,68 @@
+"""Fixed-capacity sparse voxel tensor + stride-coordinate ops.
+
+The TPU replacement for ME.SparseTensor: static shapes everywhere —
+[V, 3] int coords (ME convention: coords at tensor-stride s are multiples of
+s), [V, C] features, [V] validity mask, plus the python-static stride.
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class SparseTensor:
+    coords: jnp.ndarray  # [V, 3] int32, multiples of `stride`
+    feats: jnp.ndarray   # [V, C] float
+    valid: jnp.ndarray   # [V] bool
+    # static metadata: kernel-offset sizes and downsample factors derive from
+    # it in python, so it must not become a traced leaf at jit boundaries
+    stride: int = flax.struct.field(pytree_node=False, default=1)
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def num_channels(self) -> int:
+        return self.feats.shape[-1]
+
+
+def downsample_coords(
+    coords: jnp.ndarray, valid: jnp.ndarray, in_stride: int, out_capacity: int
+):
+    """Output coordinate set of a stride-2 sparse conv.
+
+    ME semantics: out coords = unique(floor(c / (2*s)) * (2*s)) over valid
+    input coords. Deterministic (lexicographic-unique, like ops.voxelize).
+    Returns (out_coords [Vo, 3], out_valid [Vo]).
+    """
+    s2 = in_stride * 2
+    q = jnp.where(valid[:, None], (coords // s2) * s2, jnp.int32(2**31 - 1))
+    n = q.shape[0]
+    order = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))
+    qs = q[order]
+    diff = jnp.any(qs[1:] != qs[:-1], axis=1)
+    newrun = jnp.concatenate([jnp.ones((1,), bool), diff])
+    real = qs[:, 0] != jnp.int32(2**31 - 1)
+    newrun = newrun & real
+    slot = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+    count = jnp.sum(newrun.astype(jnp.int32))
+    out = jnp.zeros((out_capacity, 3), jnp.int32)
+    write = jnp.where(newrun, slot, out_capacity)
+    out = out.at[write].set(qs, mode="drop")
+    out_valid = jnp.arange(out_capacity) < jnp.minimum(count, out_capacity)
+    return out, out_valid
+
+
+def kernel_offsets(kernel_size: int, stride_units: int) -> jnp.ndarray:
+    """All K^3 offsets of a cubic kernel in coordinate units.
+
+    ME HYPER_CUBE region: offsets in {-(k//2)..k//2} * stride_units per axis.
+    Returns [K^3, 3] int32, center-first ordering not required (weights are
+    indexed consistently by this same enumeration).
+    """
+    r = kernel_size // 2
+    axis = jnp.arange(-r, kernel_size - r, dtype=jnp.int32) * stride_units
+    gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    return jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)

@@ -1,0 +1,96 @@
+"""Tests for the FCGF sparse U-Net."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidarreg.models.fcgf import ResUNetBN2C
+from lidarreg.sparse import SparseTensor
+from lidarreg.ops import voxelize_points
+
+
+def make_input(rng, n_pts=3000, cap=2048, voxel=0.3):
+    pts = rng.uniform(-15, 15, size=(n_pts, 3)).astype(np.float32)
+    res = voxelize_points(jnp.asarray(pts), voxel, cap)
+    coords = res.coords
+    feats = jnp.ones((cap, 1), jnp.float32) * res.valid[:, None]
+    return SparseTensor(coords, feats, res.valid, 1)
+
+
+MODEL = ResUNetBN2C()
+
+
+class TestResUNetBN2C:
+    def test_forward_shapes_and_norm(self, rng):
+        x = make_input(rng)
+        variables = MODEL.init(jax.random.PRNGKey(0), x, train=False)
+        out = MODEL.apply(variables, x, train=False)
+        assert out.feats.shape == (x.capacity, 32)
+        f = np.asarray(out.feats)
+        v = np.asarray(out.valid)
+        norms = np.linalg.norm(f[v], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)  # L2-normalized
+        assert (np.abs(f[~v]).max() if (~v).any() else 0.0) == 0.0
+
+    def test_translation_equivariance(self, rng):
+        # FCGF on voxel coords: shifting all coords by a constant voxel offset
+        # must not change features (conv is translation equivariant).
+        x = make_input(rng)
+        variables = MODEL.init(jax.random.PRNGKey(0), x, train=False)
+        out1 = MODEL.apply(variables, x, train=False)
+        x_shift = x.replace(coords=x.coords + jnp.asarray([[40, -24, 8]], jnp.int32))
+        out2 = MODEL.apply(variables, x_shift, train=False)
+        v = np.asarray(x.valid)
+        np.testing.assert_allclose(
+            np.asarray(out1.feats)[v], np.asarray(out2.feats)[v], atol=2e-3
+        )
+
+    def test_padding_invariance(self, rng):
+        # same cloud at two capacities -> same features for real voxels
+        pts = rng.uniform(-10, 10, size=(700, 3)).astype(np.float32)
+        r1 = voxelize_points(jnp.asarray(pts), 0.3, 1024)
+        r2 = voxelize_points(jnp.asarray(pts), 0.3, 2048)
+        n = int(r1.count)
+        assert int(r2.count) == n
+        x1 = SparseTensor(r1.coords, jnp.ones((1024, 1)) * r1.valid[:, None], r1.valid, 1)
+        x2 = SparseTensor(r2.coords, jnp.ones((2048, 1)) * r2.valid[:, None], r2.valid, 1)
+        # full capacity at every level: capacity-loss truncation would break
+        # the invariance this test asserts
+        model = ResUNetBN2C(level_capacity_div=(1, 1, 1, 1))
+        variables = model.init(jax.random.PRNGKey(0), x1, train=False)
+        o1 = model.apply(variables, x1, train=False)
+        o2 = model.apply(variables, x2, train=False)
+        # voxel order identical (lexsorted), so rows align
+        np.testing.assert_allclose(
+            np.asarray(o1.feats)[:n], np.asarray(o2.feats)[:n], atol=2e-3
+        )
+
+    def test_train_mode_updates_stats(self, rng):
+        x = make_input(rng, n_pts=800, cap=512)
+        variables = MODEL.init(jax.random.PRNGKey(0), x, train=False)
+        out, mutated = MODEL.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+        assert changed
+
+    def test_jit_and_grad(self, rng):
+        x = make_input(rng, n_pts=800, cap=512)
+        variables = MODEL.init(jax.random.PRNGKey(0), x, train=False)
+
+        @jax.jit
+        def loss_fn(params):
+            out = MODEL.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=False,
+            )
+            return jnp.sum(out.feats**2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

@@ -1,0 +1,193 @@
+"""Tests for the sparse engine: hash table, kernel maps, conv vs dense ref."""
+import numpy as np
+import jax.numpy as jnp
+
+from lidarreg.sparse import (
+    SparseTensor,
+    build_table,
+    lookup,
+    downsample_coords,
+    kernel_offsets,
+    sparse_conv,
+    sparse_conv_transpose,
+)
+
+
+def dense_ref_conv(coords, feats, valid, offsets, weights):
+    """Direct definition: out[o] = sum_j W_j @ X[at coords[o]+off_j]."""
+    table = {tuple(c): i for i, c in enumerate(coords[valid])}
+    vi = {tuple(c): feats[i] for i, c in enumerate(coords) if valid[i]}
+    out = np.zeros((len(coords), weights.shape[-1]), np.float32)
+    for o, c in enumerate(coords):
+        if not valid[o]:
+            continue
+        acc = np.zeros(weights.shape[-1], np.float32)
+        for j, off in enumerate(offsets):
+            key = tuple(np.asarray(c) + np.asarray(off))
+            if key in vi:
+                acc += vi[key] @ weights[j]
+        out[o] = acc
+    del table
+    return out
+
+
+class TestHashTable:
+    def test_roundtrip(self, rng):
+        coords = rng.integers(-500, 500, size=(2000, 3)).astype(np.int32)
+        coords = np.unique(coords, axis=0)
+        v = len(coords)
+        valid = np.ones(v, bool)
+        table, placed = build_table(jnp.asarray(coords), jnp.asarray(valid), 8192)
+        assert bool(placed.all())
+        got = np.asarray(lookup(table, jnp.asarray(coords)))
+        np.testing.assert_array_equal(got, np.arange(v))
+
+    def test_misses_return_minus1(self, rng):
+        coords = (rng.integers(0, 100, size=(500, 3)) * 2).astype(np.int32)
+        coords = np.unique(coords, axis=0)
+        table, _ = build_table(
+            jnp.asarray(coords), jnp.ones(len(coords), bool), 2048
+        )
+        queries = coords + 1  # odd coords can't be present
+        got = np.asarray(lookup(table, jnp.asarray(queries)))
+        assert (got == -1).all()
+
+    def test_invalid_rows_not_inserted(self, rng):
+        coords = np.unique(
+            rng.integers(-50, 50, size=(300, 3)).astype(np.int32), axis=0
+        )
+        valid = np.zeros(len(coords), bool)
+        valid[:10] = True
+        table, _ = build_table(jnp.asarray(coords), jnp.asarray(valid), 1024)
+        got = np.asarray(lookup(table, jnp.asarray(coords)))
+        assert (got[10:] == -1).all()
+        np.testing.assert_array_equal(got[:10], np.arange(10))
+
+
+class TestKernelMaps:
+    def test_offsets_k3(self):
+        offs = np.asarray(kernel_offsets(3, 2))
+        assert offs.shape == (27, 3)
+        assert set(map(tuple, offs)) == {
+            (i * 2, j * 2, k * 2)
+            for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+        }
+
+    def test_downsample_coords(self):
+        coords = np.array(
+            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 3, 3], [-1, -1, -1]],
+            np.int32,
+        )
+        out, valid = downsample_coords(
+            jnp.asarray(coords), jnp.ones(5, bool), in_stride=1, out_capacity=8
+        )
+        got = set(map(tuple, np.asarray(out)[np.asarray(valid)]))
+        # floor-div: {0,1}->0, 2->2, 3->2, -1->-2
+        assert got == {(0, 0, 0), (2, 0, 0), (2, 2, 2), (-2, -2, -2)}
+
+
+class TestSparseConv:
+    def test_matches_dense_reference_k3(self, rng):
+        v, cin, cout = 200, 8, 16
+        coords = np.unique(
+            rng.integers(-6, 6, size=(v, 3)).astype(np.int32), axis=0
+        )
+        n = len(coords)
+        pad = 256
+        coords_p = np.zeros((pad, 3), np.int32)
+        coords_p[:n] = coords
+        feats = np.zeros((pad, cin), np.float32)
+        feats[:n] = rng.normal(size=(n, cin))
+        valid = np.zeros(pad, bool)
+        valid[:n] = True
+        W = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+
+        x = SparseTensor(
+            jnp.asarray(coords_p), jnp.asarray(feats), jnp.asarray(valid), 1
+        )
+        y = sparse_conv(x, jnp.asarray(W), kernel_size=3, stride=1)
+        ref = dense_ref_conv(
+            coords_p, feats, valid, np.asarray(kernel_offsets(3, 1)), W
+        )
+        np.testing.assert_allclose(np.asarray(y.feats), ref, atol=1e-4)
+        assert y.stride == 1
+
+    def test_stride2_downsample(self, rng):
+        coords = np.unique(
+            rng.integers(-8, 8, size=(300, 3)).astype(np.int32), axis=0
+        )
+        n = len(coords)
+        pad = 512
+        coords_p = np.zeros((pad, 3), np.int32); coords_p[:n] = coords
+        feats = np.zeros((pad, 4), np.float32)
+        feats[:n] = rng.normal(size=(n, 4))
+        valid = np.zeros(pad, bool); valid[:n] = True
+        W = rng.normal(size=(27, 4, 6)).astype(np.float32)
+
+        x = SparseTensor(jnp.asarray(coords_p), jnp.asarray(feats), jnp.asarray(valid), 1)
+        y = sparse_conv(x, jnp.asarray(W), kernel_size=3, stride=2)
+        assert y.stride == 2
+        yc = np.asarray(y.coords)[np.asarray(y.valid)]
+        assert (yc % 2 == 0).all()
+        expected = np.unique((coords // 2) * 2, axis=0)
+        assert len(yc) == len(expected)
+
+        # spot check one output against the definition
+        out_ref = dense_ref_conv(
+            np.asarray(y.coords), feats_join(coords_p, feats, valid),
+            np.asarray(y.valid), np.asarray(kernel_offsets(3, 1)), W,
+        ) if False else None
+        # direct check: output o sums inputs at out_c + {-1,0,1}^3
+        table = {tuple(c): i for i, c in enumerate(coords_p[:n])}
+        o = 0
+        oc = yc[o]
+        acc = np.zeros(6, np.float32)
+        for j, off in enumerate(np.asarray(kernel_offsets(3, 1))):
+            key = tuple(oc + off)
+            if key in table:
+                acc += feats[table[key]] @ W[j]
+        np.testing.assert_allclose(np.asarray(y.feats)[0], acc, atol=1e-4)
+
+    def test_transpose_roundtrip_coords(self, rng):
+        # downsample then conv_tr back onto the original (fine) coords
+        coords = np.unique(
+            (rng.integers(-8, 8, size=(200, 3))).astype(np.int32), axis=0
+        )
+        n = len(coords); pad = 256
+        coords_p = np.zeros((pad, 3), np.int32); coords_p[:n] = coords
+        feats = np.zeros((pad, 4), np.float32); feats[:n] = rng.normal(size=(n, 4))
+        valid = np.zeros(pad, bool); valid[:n] = True
+        x = SparseTensor(jnp.asarray(coords_p), jnp.asarray(feats), jnp.asarray(valid), 1)
+        Wd = rng.normal(size=(27, 4, 8)).astype(np.float32)
+        y = sparse_conv(x, jnp.asarray(Wd), 3, stride=2)
+
+        Wu = rng.normal(size=(27, 8, 4)).astype(np.float32)
+        z = sparse_conv_transpose(
+            y, jnp.asarray(Wu), 3, x.coords, x.valid, out_stride=1
+        )
+        assert z.stride == 1
+        assert z.feats.shape == (pad, 4)
+        zf = np.asarray(z.feats)
+        assert np.isfinite(zf).all()
+        assert np.abs(zf[np.asarray(x.valid)]).sum() > 0  # information flows up
+        assert (zf[~np.asarray(x.valid)] == 0).all()      # padding stays zero
+
+    def test_padding_isolation(self, rng):
+        # garbage in padded rows must not leak into valid outputs
+        coords = np.unique(rng.integers(-5, 5, size=(100, 3)).astype(np.int32), axis=0)
+        n = len(coords); pad = 128
+        cp = np.zeros((pad, 3), np.int32); cp[:n] = coords
+        f1 = np.zeros((pad, 4), np.float32); f1[:n] = rng.normal(size=(n, 4))
+        f2 = f1.copy(); f2[n:] = 1e6  # garbage in padding
+        cp2 = cp.copy(); cp2[n:] = coords[0] + np.array([1, 0, 0])  # aliasing coords!
+        valid = np.zeros(pad, bool); valid[:n] = True
+        W = rng.normal(size=(27, 4, 4)).astype(np.float32)
+        y1 = sparse_conv(SparseTensor(jnp.asarray(cp), jnp.asarray(f1), jnp.asarray(valid), 1), jnp.asarray(W), 3)
+        y2 = sparse_conv(SparseTensor(jnp.asarray(cp2), jnp.asarray(f2), jnp.asarray(valid), 1), jnp.asarray(W), 3)
+        np.testing.assert_allclose(
+            np.asarray(y1.feats)[:n], np.asarray(y2.feats)[:n], atol=1e-3
+        )
+
+
+def feats_join(c, f, v):  # helper kept for clarity in stride-2 test
+    return f

@@ -1,0 +1,184 @@
+"""Benchmark test CLI — reference protocol: Experiments/test.py:273-405.
+
+Usage (flag parity with test.py:295-313 where applicable):
+
+  python -m lidarreg.cli.test --dataset A --algo RANSAC --mode GPF \\
+      --iters 50000 [--codebase batched] [--prosac true] \\
+      [--fast_rejection ELC] [--max_samples N] [--synthetic true] \\
+      [--rank R --world_size W --tmp_file_base /tmp/run1] [--analysis]
+
+Multi-process sharding keeps the reference's shard-file protocol
+(test_parallel.sh: one process per accelerator, then an `--analysis` merge
+run); on a single host the same flag pair shards over pair indices.
+`--synthetic true` runs the benchmark over deterministic synthetic scenes
+driven by the real published balanced-set motions (no raw data needed);
+with raw data mounted (LIDARREG_DATA) use `--synthetic false`.
+
+The FCGF encoder runs with randomly-initialized weights unless
+`--fcgf_weights_file` points at a saved checkpoint (msgpack, see
+lidarreg.utils.checkpoint); `--features surrogate` uses noisy GT-aligned
+position features instead (upper-bound matching quality; used for solver
+benchmarking).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("lidarreg test")
+    p.add_argument("--dataset", type=str, required=True,
+                   help="K/A/B/S/L or full name")
+    p.add_argument("--algo", type=str, default="RANSAC",
+                   choices=["RANSAC", "PointDSC", "TEASER"])
+    p.add_argument("--mode", type=str, default="GPF",
+                   choices=["GPF", "MNN", "no_filter"])
+    p.add_argument("--iters", type=int, default=50_000)
+    p.add_argument("--phase", type=str, default="test",
+                   choices=["train", "validation", "test"])
+    p.add_argument("--prosac", type=str2bool, default=True)
+    p.add_argument("--fast_rejection", type=str, default="ELC",
+                   choices=["ELC", "NONE"])
+    p.add_argument("--GPF_factor", type=float, default=2.0)
+    p.add_argument("--GPF_grid_wid", type=int, default=10)
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--synthetic", type=str2bool, default=True)
+    p.add_argument("--features", type=str, default="fcgf",
+                   choices=["fcgf", "surrogate"])
+    p.add_argument("--fcgf_weights_file", type=str, default=None)
+    p.add_argument("--voxel_size", type=float, default=0.3)
+    p.add_argument("--capacity", type=int, default=32768)
+    p.add_argument("--num_node", type=int, default=12000)
+    p.add_argument("--outdir", type=str, default=None)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world_size", type=int, default=1)
+    p.add_argument("--tmp_file_base", type=str, default=None)
+    p.add_argument("--analysis", action="store_true",
+                   help="merge shard files and print the report")
+    p.add_argument("--seed", type=int, default=51)  # benchmark_utils.py:27-38
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    # heavy imports after arg parsing (fast --help)
+    import jax
+    import jax.numpy as jnp
+
+    from ..bench import (
+        EvalConfig, FRConfig, analyze_stats, evaluate_pairs,
+        make_fr_register, merge_shards, save_shard, write_log,
+    )
+    from ..data import make_dataset
+    from ..data.pipeline import prepare_sparse_input
+
+    outdir = args.outdir or os.path.join(
+        "outputs", f"{args.dataset}.{args.algo}.{time.strftime('%y%m%d_%H%M%S')}"
+    )
+
+    if args.analysis:
+        stats = merge_shards(args.tmp_file_base)
+        report = analyze_stats(stats, args.algo)
+        print(report)
+        write_log(outdir, report, vars(args))
+        np.save(os.path.join(outdir, "raw_stats.npy"), stats)
+        return report
+
+    ds = make_dataset(args.dataset, phase=args.phase, synthetic=args.synthetic)
+
+    cap = args.capacity
+    pt_cap = cap * 4
+
+    if args.features == "fcgf":
+        from ..models.fcgf import ResUNetBN2C
+        from ..sparse.tensor import SparseTensor
+
+        model = ResUNetBN2C()
+        dummy = SparseTensor(
+            jnp.zeros((cap, 3), jnp.int32), jnp.ones((cap, 1)),
+            jnp.ones((cap,), bool), 1,
+        )
+        if args.fcgf_weights_file:
+            from ..utils.checkpoint import load_variables
+            variables = load_variables(args.fcgf_weights_file)
+        else:
+            variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+        fcgf_apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+        def features_for(cloud):
+            pad = np.full((pt_cap, 3), 1e7, np.float32)
+            m = min(len(cloud), pt_cap)
+            pad[:m] = cloud[:m]
+            st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap)
+            out = fcgf_apply(variables, st)
+            return xyz, out.feats, out.valid
+    else:
+        # surrogate: noisy GT-aligned positions (solver-benchmark mode)
+        state = {"T": np.eye(4), "flip": 0}
+
+        def features_for(cloud):
+            pad = np.full((pt_cap, 3), 1e7, np.float32)
+            m = min(len(cloud), pt_cap)
+            pad[:m] = cloud[:m]
+            st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap)
+            T = state["T"] if state["flip"] % 2 == 0 else np.eye(4)
+            state["flip"] += 1
+            p = xyz @ jnp.asarray(T[:3, :3].T.astype(np.float32)) + jnp.asarray(
+                T[:3, 3].astype(np.float32)
+            )
+            f = p + jax.random.normal(jax.random.PRNGKey(0), p.shape) * 0.1
+            return xyz, f, st.valid
+
+        inner_ds = ds
+
+        class _DS:
+            pairs = inner_ds.pairs
+
+            def __len__(self):
+                return len(inner_ds)
+
+            def get_pair(self, i):
+                out = inner_ds.get_pair(i)
+                state["T"] = out[0]
+                return out
+
+        ds = _DS()
+
+    fr = make_fr_register(
+        FRConfig(
+            mode=args.mode,
+            iters=args.iters,
+            voxel_size=args.voxel_size,
+            prosac=args.prosac,
+            use_elc=args.fast_rejection == "ELC",
+            grid_wid=args.GPF_grid_wid,
+            gpf_factor=args.GPF_factor,
+        )
+    )
+    cfg = EvalConfig(algo=args.algo, voxel_size=args.voxel_size,
+                     max_samples=args.max_samples)
+    stats = evaluate_pairs(
+        ds, features_for, fr, cfg, jax.random.PRNGKey(args.seed),
+        rank=args.rank, world_size=args.world_size, progress=True,
+    )
+
+    if args.tmp_file_base:
+        save_shard(stats, args.tmp_file_base, args.world_size, args.rank)
+        return None
+    report = analyze_stats(stats, args.algo)
+    print(report)
+    write_log(outdir, report, vars(args))
+    np.save(os.path.join(outdir, "raw_stats.npy"), stats)
+    return report
+
+
+if __name__ == "__main__":
+    main()

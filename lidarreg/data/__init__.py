@@ -1,0 +1,16 @@
+from .balanced import (  # noqa: F401
+    BalancedPairs,
+    read_balanced_set,
+    write_balanced_set,
+    resolve_dataset_name,
+    balanced_set_path,
+    default_balanced_root,
+    DATASET_NICKNAMES,
+)
+from .adapters import make_dataset, SyntheticBalancedDataset  # noqa: F401
+from .pipeline import (  # noqa: F401
+    FeaturePipeline,
+    prepare_sparse_input,
+    build_pointdsc_input,
+)
+from . import augment  # noqa: F401

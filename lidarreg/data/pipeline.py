@@ -1,0 +1,150 @@
+"""Pair pipeline: clouds -> voxels -> FCGF features -> PointDSC inputs.
+
+TPU-native equivalent of Experiments/datasets/LidarFeatureExtractor.py
+(process_batch :166-200, correspondence construction + GT labels :83-164)
+plus the voxelization half of
+Experiments/dataloader/generic_balanced_loader.py:32-98.
+
+Static-shape discipline: clouds voxelize into fixed `capacity` slots, and
+keypoints are sampled to exactly `num_node` (the reference itself subsamples
+to num_node when larger, LidarFeatureExtractor.py:96-101; when a cloud has
+fewer voxels than num_node we sample WITH replacement instead of keeping a
+ragged array — documented deviation, only reachable on tiny clouds).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.se3 import transform
+from ..ops.knn import find_nn
+from ..ops.voxelize import voxelize
+from ..sparse.tensor import SparseTensor
+
+DEFAULT_VOXEL_SIZE = 0.3  # generic_balanced_loader.py:10
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def prepare_sparse_input(cloud: jnp.ndarray, voxel_size: float, capacity: int):
+    """Voxelize one cloud into a unit-feature SparseTensor + voxel xyz.
+
+    Returns (SparseTensor, xyz [capacity, 3]) — xyz are the ORIGINAL point
+    coordinates of each kept voxel (first point per voxel), the reference's
+    convention (generic_balanced_loader.py:62-75).
+    """
+    res = voxelize(cloud, voxel_size, capacity)
+    xyz = cloud[res.indices] * res.valid[:, None]
+    feats = jnp.ones((capacity, 1), jnp.float32) * res.valid[:, None]
+    st = SparseTensor(res.coords, feats, res.valid, 1)
+    return st, xyz
+
+
+def sample_keypoints(key, valid: jnp.ndarray, num_node: int) -> jnp.ndarray:
+    """Sample exactly num_node valid row indices.
+
+    Without replacement while valid rows last (reference: np.random.choice
+    replace=False, LidarFeatureExtractor.py:99-101), cycling through the
+    valid set again only when count < num_node (static-shape substitute for
+    the reference's keep-all branch).
+    """
+    n = valid.shape[0]
+    u = jax.random.uniform(key, (n,)) + (~valid) * 1e3  # valid rows first
+    order = jnp.argsort(u).astype(jnp.int32)
+    count = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    idx = jnp.arange(num_node, dtype=jnp.int32) % count
+    return order[idx]
+
+
+@partial(jax.jit, static_argnums=(7, 8))
+def build_pointdsc_input(
+    key,
+    xyz0: jnp.ndarray,
+    F0: jnp.ndarray,
+    m0: jnp.ndarray,
+    xyz1: jnp.ndarray,
+    F1: jnp.ndarray,
+    m1: jnp.ndarray,
+    num_node: int = 12000,
+    inlier_threshold: float = 0.6,
+    T_gt: jnp.ndarray | None = None,
+) -> Dict[str, Any]:
+    """Correspondence set for PointDSC from per-voxel features.
+
+    Mirrors LidarFeatureExtractor.get_pairs (:83-164): subsample num_node
+    keypoints per cloud, match every source keypoint to its feature NN,
+    label inliers by GT distance < inlier_threshold (0.6 m), 6-D corr_pos =
+    concat(src, tgt) centered.
+    """
+    k0, k1 = jax.random.split(key)
+    sel0 = sample_keypoints(k0, m0, num_node)
+    sel1 = sample_keypoints(k1, m1, num_node)
+    src_kp = xyz0[sel0]
+    tgt_kp = xyz1[sel1]
+    fd0 = F0[sel0]
+    fd1 = F1[sel1]
+
+    nn = find_nn(fd0, fd1)
+    corr_tgt = tgt_kp[nn.idx]
+
+    corr_pos = jnp.concatenate([src_kp, corr_tgt], axis=-1)
+    corr_pos = corr_pos - corr_pos.mean(axis=0, keepdims=True)
+
+    out = {
+        "corr_pos": corr_pos[None],
+        "src_keypts": src_kp[None],
+        "tgt_keypts": corr_tgt[None],
+    }
+    if T_gt is not None:
+        warped = transform(src_kp, T_gt)
+        dist = jnp.linalg.norm(warped - corr_tgt, axis=-1)
+        out["gt_labels"] = (dist < inlier_threshold).astype(jnp.float32)[None]
+        out["gt_trans"] = T_gt[None].astype(jnp.float32)
+    return out
+
+
+class FeaturePipeline:
+    """Host-side orchestration: dataset pair -> device batch.
+
+    Holds the (jitted) FCGF apply function; pads host clouds to the fixed
+    point capacity before transfer.
+    """
+
+    def __init__(self, fcgf_apply, variables, voxel_size: float = DEFAULT_VOXEL_SIZE,
+                 capacity: int = 32768, point_capacity: int = 131072,
+                 num_node: int = 12000, inlier_threshold: float = 0.6):
+        self.fcgf_apply = fcgf_apply
+        self.variables = variables
+        self.voxel_size = voxel_size
+        self.capacity = capacity
+        self.point_capacity = point_capacity
+        self.num_node = num_node
+        self.inlier_threshold = inlier_threshold
+
+    def _pad_cloud(self, cloud: np.ndarray):
+        n = min(len(cloud), self.point_capacity)
+        out = np.zeros((self.point_capacity, 3), np.float32)
+        out[:n] = cloud[:n]
+        # padding points at a far sentinel so they land in one junk voxel
+        out[n:] = 1e7
+        return jnp.asarray(out)
+
+    def features_for(self, cloud: np.ndarray):
+        st, xyz = prepare_sparse_input(
+            self._pad_cloud(cloud), self.voxel_size, self.capacity
+        )
+        feats = self.fcgf_apply(self.variables, st)
+        return xyz, feats.feats, feats.valid
+
+    def pointdsc_batch(self, dataset, ind: int, key) -> Dict[str, Any]:
+        T_gt, cloud_a, cloud_b = dataset.get_pair(ind)
+        xyz0, F0, m0 = self.features_for(cloud_a)
+        xyz1, F1, m1 = self.features_for(cloud_b)
+        return build_pointdsc_input(
+            key, xyz0, F0, m0, xyz1, F1, m1,
+            self.num_node, self.inlier_threshold,
+            T_gt=jnp.asarray(T_gt.astype(np.float32)),
+        )

@@ -1,0 +1,126 @@
+"""Data layer tests: balanced-set IO, synthetic adapter, pipeline."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidarreg.data import (
+    read_balanced_set,
+    write_balanced_set,
+    resolve_dataset_name,
+    balanced_set_path,
+    default_balanced_root,
+    make_dataset,
+)
+from lidarreg.data.augment import sample_almost_planar_rotation
+from lidarreg.data.pipeline import prepare_sparse_input, build_pointdsc_input
+from lidarreg.core.se3 import rotation_to_euler
+
+HAVE_SETS = os.path.isdir(default_balanced_root())
+
+
+@pytest.mark.skipif(not HAVE_SETS, reason="published balanced sets not mounted")
+class TestBalancedIO:
+    def test_read_published_sets(self):
+        p = read_balanced_set(
+            balanced_set_path(default_balanced_root(), "K", "test")
+        )
+        assert len(p) == 555  # BASELINE.md test-set sizes
+        # motions are rigid: R orthonormal, last row [0,0,0,1]
+        R = p.motions[:, :3, :3]
+        err = np.abs(R @ R.transpose(0, 2, 1) - np.eye(3)).max()
+        assert err < 1e-6
+        np.testing.assert_allclose(p.motions[:, 3], np.broadcast_to([0.0, 0, 0, 1], (len(p), 4)), atol=1e-9)
+        # header columns are consistent: trans == motion translation
+        np.testing.assert_allclose(p.translations, p.motions[:, :3, 3])
+
+    def test_apollo_sizes(self):
+        p = read_balanced_set(
+            balanced_set_path(default_balanced_root(), "A", "test")
+        )
+        assert len(p) == 7008
+
+    def test_roundtrip(self, tmp_path):
+        p = read_balanced_set(
+            balanced_set_path(default_balanced_root(), "K", "validation")
+        )
+        out = str(tmp_path / "rt.txt")
+        write_balanced_set(out, p)
+        q = read_balanced_set(out)
+        np.testing.assert_allclose(q.motions, p.motions, atol=1e-12)
+        np.testing.assert_array_equal(q.session_ind, p.session_ind)
+
+    def test_nicknames(self):
+        assert resolve_dataset_name("A") == "ApolloSouthbay"
+        assert resolve_dataset_name("KITTI_10m") == "KITTI_10m"
+
+
+@pytest.mark.skipif(not HAVE_SETS, reason="published balanced sets not mounted")
+class TestSyntheticDataset:
+    def test_pair_geometry(self):
+        ds = make_dataset("K", phase="validation", synthetic=True,
+                          n_points=20000)
+        T, a, b = ds.get_pair(0)
+        # A transformed by GT must land on B's world; compare NN distances of
+        # the aligned vs unaligned cloud (sampling sparsity cancels out)
+        a_t = a @ T[:3, :3].T + T[:3, 3]
+        ref = b[::11]
+        d_aligned = np.sqrt(((a_t[::97][:, None] - ref[None]) ** 2).sum(-1)).min(1)
+        d_raw = np.sqrt(((a[::97][:, None] - ref[None]) ** 2).sum(-1)).min(1)
+        assert np.median(d_aligned) < 0.5 * np.median(d_raw)
+        assert np.median(d_aligned) < 1.5
+
+    def test_determinism(self):
+        ds = make_dataset("K", phase="validation", synthetic=True, n_points=5000)
+        _, a1, b1 = ds.get_pair(3)
+        _, a2, b2 = ds.get_pair(3)
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(b1, b2)
+
+
+class TestAugment:
+    def test_almost_planar(self, rng):
+        M = sample_almost_planar_rotation(rng)
+        R = M[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+        np.testing.assert_allclose(M[:3, 3], 0)
+        # roll/pitch small: R = Rz Ry Rx -> z-axis stays near vertical
+        assert abs(R[2, 2]) > np.cos(np.radians(7.1))
+
+
+class TestPipeline:
+    def test_prepare_sparse_input(self, rng):
+        cloud = rng.uniform(-10, 10, (3000, 3)).astype(np.float32)
+        st, xyz = prepare_sparse_input(jnp.asarray(cloud), 0.3, 4096)
+        assert st.feats.shape == (4096, 1)
+        v = np.asarray(st.valid)
+        assert 1000 < v.sum() <= 3000
+        # xyz rows are original points
+        found = np.asarray(xyz)[v]
+        assert all(
+            np.any(np.all(np.isclose(cloud, f, atol=1e-6), axis=1)) for f in found[:20]
+        )
+
+    def test_build_pointdsc_input(self, rng):
+        n = 512
+        xyz0 = jnp.asarray(rng.uniform(-30, 30, (n, 3)).astype(np.float32))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [2.0, 1.0, 0.0]
+        xyz1 = xyz0 @ jnp.asarray(T[:3, :3].T) + jnp.asarray(T[:3, 3])
+        F = rng.normal(size=(n, 16)).astype(np.float32)
+        F /= np.linalg.norm(F, axis=1, keepdims=True)
+        out = build_pointdsc_input(
+            jax.random.PRNGKey(0),
+            xyz0, jnp.asarray(F), jnp.ones(n, bool),
+            xyz1, jnp.asarray(F), jnp.ones(n, bool),
+            512, 0.6, T_gt=jnp.asarray(T),
+        )
+        assert out["corr_pos"].shape == (1, 512, 6)
+        # identical features -> NN matches are correct -> labels ~ all inliers
+        assert float(out["gt_labels"].mean()) > 0.95
+        # corr_pos centered
+        np.testing.assert_allclose(
+            np.asarray(out["corr_pos"]).mean(axis=1), 0.0, atol=1e-4
+        )

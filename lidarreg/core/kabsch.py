@@ -49,10 +49,15 @@ def _jacobi_rotation(A: jnp.ndarray, p: int, q: int) -> jnp.ndarray:
     apq = A[..., p, q]
     app = A[..., p, p]
     aqq = A[..., q, q]
-    # Stable Jacobi angle: t = sign(theta) / (|theta| + sqrt(theta^2 + 1))
-    theta = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
+    # Stable Jacobi angle: t = sign(theta) / (|theta| + sqrt(theta^2 + 1)).
+    # Double-where guard: substituting into the DENOMINATOR alone leaves an
+    # inf-producing branch in the backward pass (NaN gradients); theta is
+    # also clipped so theta^2 cannot overflow f32.
+    small = jnp.abs(apq) < 1e-20
+    apq_safe = jnp.where(small, 1.0, apq)
+    theta = jnp.clip((aqq - app) / (2.0 * apq_safe), -1e7, 1e7)
     t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
-    t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
+    t = jnp.where(small, 0.0, t)
     c = 1.0 / jnp.sqrt(t * t + 1.0)
     s = t * c
     G = jnp.zeros(A.shape[:-2] + (4, 4), A.dtype) + jnp.eye(4, dtype=A.dtype)

@@ -35,15 +35,17 @@ class SparseConvLayer(nn.Module):
     """One sparse conv with an externally-supplied kernel map.
 
     kernel_size==1 needs no map (pure per-voxel dense matmul).
+    `num_offsets` = kernel_size ** dim (the kmap's offset count).
     """
 
     out_channels: int
     kernel_size: int
     use_bias: bool = False
+    num_offsets: int | None = None
 
     @nn.compact
     def __call__(self, feats, valid, kmap=None):
-        j = self.kernel_size**3
+        j = self.num_offsets or self.kernel_size**3
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
@@ -94,14 +96,17 @@ class BasicBlockBN(nn.Module):
 
     channels: int
     bn_momentum: float = 0.05
+    num_offsets: int = 27
 
     @nn.compact
     def __call__(self, feats, valid, kmap, train: bool):
         residual = feats
-        out = SparseConvLayer(self.channels, 3, name="conv1")(feats, valid, kmap)
+        out = SparseConvLayer(self.channels, 3, num_offsets=self.num_offsets,
+                              name="conv1")(feats, valid, kmap)
         out = SparseBatchNorm(self.bn_momentum, name="norm1")(out, valid, train)
         out = nn.relu(out)
-        out = SparseConvLayer(self.channels, 3, name="conv2")(out, valid, kmap)
+        out = SparseConvLayer(self.channels, 3, num_offsets=self.num_offsets,
+                              name="conv2")(out, valid, kmap)
         out = SparseBatchNorm(self.bn_momentum, name="norm2")(out, valid, train)
         return nn.relu((out + residual) * valid[:, None])
 
@@ -114,6 +119,7 @@ class ResUNetBN2C(nn.Module):
     bn_momentum: float = 0.05
     conv1_kernel_size: int = 5
     normalize_feature: bool = True
+    dim: int = 3   # 3 for point clouds; 6 for DGR's inlier net over pairs
     channels: Sequence[int] = (0, 32, 64, 128, 256)
     tr_channels: Sequence[int] = (0, 64, 64, 64, 128)
     # Capacity of each stride level (level 0 = input capacity). Conservative
@@ -150,7 +156,9 @@ class ResUNetBN2C(nn.Module):
         t8 = mk_table(c8, v8, caps[3])
 
         def km(table, tv, coords, valid, k, units):
-            return kernel_map(table, tv, coords, valid, kernel_offsets(k, units))
+            return kernel_map(
+                table, tv, coords, valid, kernel_offsets(k, units, self.dim)
+            )
 
         km1_c1 = km(t1, v1, c1, v1, self.conv1_kernel_size, s)   # conv1 (k5)
         km1 = km(t1, v1, c1, v1, 3, s)                           # L1 blocks
@@ -165,46 +173,48 @@ class ResUNetBN2C(nn.Module):
         km_u21 = km(t2, v2, c1, v1, 3, s)
 
         # ---- encoder ----------------------------------------------------- #
-        out_s1 = SparseConvLayer(CH[1], self.conv1_kernel_size, name="conv1")(
-            x.feats, v1, km1_c1
-        )
+        no = lambda k: k**self.dim  # noqa: E731
+        out_s1 = SparseConvLayer(
+            CH[1], self.conv1_kernel_size, num_offsets=no(self.conv1_kernel_size),
+            name="conv1",
+        )(x.feats, v1, km1_c1)
         out_s1 = SparseBatchNorm(bm, name="norm1")(out_s1, v1, train)
-        out_s1 = BasicBlockBN(CH[1], bm, name="block1")(out_s1, v1, km1, train)
+        out_s1 = BasicBlockBN(CH[1], bm, no(3), name="block1")(out_s1, v1, km1, train)
         out = nn.relu(out_s1)
 
-        out_s2 = SparseConvLayer(CH[2], 3, name="conv2")(out, v2, km_d12)
+        out_s2 = SparseConvLayer(CH[2], 3, num_offsets=no(3), name="conv2")(out, v2, km_d12)
         out_s2 = SparseBatchNorm(bm, name="norm2")(out_s2, v2, train)
-        out_s2 = BasicBlockBN(CH[2], bm, name="block2")(out_s2, v2, km2, train)
+        out_s2 = BasicBlockBN(CH[2], bm, no(3), name="block2")(out_s2, v2, km2, train)
         out = nn.relu(out_s2)
 
-        out_s4 = SparseConvLayer(CH[3], 3, name="conv3")(out, v4, km_d24)
+        out_s4 = SparseConvLayer(CH[3], 3, num_offsets=no(3), name="conv3")(out, v4, km_d24)
         out_s4 = SparseBatchNorm(bm, name="norm3")(out_s4, v4, train)
-        out_s4 = BasicBlockBN(CH[3], bm, name="block3")(out_s4, v4, km4, train)
+        out_s4 = BasicBlockBN(CH[3], bm, no(3), name="block3")(out_s4, v4, km4, train)
         out = nn.relu(out_s4)
 
-        out_s8 = SparseConvLayer(CH[4], 3, name="conv4")(out, v8, km_d48)
+        out_s8 = SparseConvLayer(CH[4], 3, num_offsets=no(3), name="conv4")(out, v8, km_d48)
         out_s8 = SparseBatchNorm(bm, name="norm4")(out_s8, v8, train)
-        out_s8 = BasicBlockBN(CH[4], bm, name="block4")(out_s8, v8, km8, train)
+        out_s8 = BasicBlockBN(CH[4], bm, no(3), name="block4")(out_s8, v8, km8, train)
         out = nn.relu(out_s8)
 
         # ---- decoder (coords reuse encoder levels) ------------------------ #
-        out = SparseConvLayer(TR[4], 3, name="conv4_tr")(out, v4, km_u84)
+        out = SparseConvLayer(TR[4], 3, num_offsets=no(3), name="conv4_tr")(out, v4, km_u84)
         out = SparseBatchNorm(bm, name="norm4_tr")(out, v4, train)
-        out = BasicBlockBN(TR[4], bm, name="block4_tr")(out, v4, km4, train)
+        out = BasicBlockBN(TR[4], bm, no(3), name="block4_tr")(out, v4, km4, train)
         out_s4_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s4_tr, out_s4], axis=1)
 
-        out = SparseConvLayer(TR[3], 3, name="conv3_tr")(out, v2, km_u42)
+        out = SparseConvLayer(TR[3], 3, num_offsets=no(3), name="conv3_tr")(out, v2, km_u42)
         out = SparseBatchNorm(bm, name="norm3_tr")(out, v2, train)
-        out = BasicBlockBN(TR[3], bm, name="block3_tr")(out, v2, km2, train)
+        out = BasicBlockBN(TR[3], bm, no(3), name="block3_tr")(out, v2, km2, train)
         out_s2_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s2_tr, out_s2], axis=1)
 
-        out = SparseConvLayer(TR[2], 3, name="conv2_tr")(out, v1, km_u21)
+        out = SparseConvLayer(TR[2], 3, num_offsets=no(3), name="conv2_tr")(out, v1, km_u21)
         out = SparseBatchNorm(bm, name="norm2_tr")(out, v1, train)
-        out = BasicBlockBN(TR[2], bm, name="block2_tr")(out, v1, km1, train)
+        out = BasicBlockBN(TR[2], bm, no(3), name="block2_tr")(out, v1, km1, train)
         out_s1_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s1_tr, out_s1], axis=1)
@@ -215,6 +225,9 @@ class ResUNetBN2C(nn.Module):
         )
 
         if self.normalize_feature:
-            out = out / (jnp.linalg.norm(out, axis=1, keepdims=True) + 1e-8)
+            # safe norm: jnp.linalg.norm has a NaN gradient at exactly-zero
+            # rows (padded voxels are exactly zero)
+            norm = jnp.sqrt(jnp.sum(out * out, axis=1, keepdims=True) + 1e-16)
+            out = out / (norm + 1e-8)
             out = out * v1[:, None]
         return SparseTensor(c1, out, v1, s)

@@ -1,0 +1,176 @@
+"""Deep Global Registration (DGR): learned inlier weighting + SE(3) refine.
+
+TPU-native rebuild of DGR/core/deep_global_registration.py:352-459 and
+DGR/core/registration.py:
+
+  pipeline: voxelize -> FCGF features -> feature NN correspondences ->
+  6-D sparse-conv inlier network (ResUNetBN2C, dim=6, out=1) -> sigmoid
+  weights, clipped below `clip_weight_thresh` (0.05, DGR/config.py:76) ->
+    weight mass >= max(4000, N) * thresh:
+       weighted Procrustes init + Adam SE(3) refinement on the
+       HighDimSmoothL1 objective (registration.py:135-194) —
+    else: safeguard RANSAC, 80k hypotheses
+  (deep_global_registration.py:404-447). Both branches are computed inside
+  one jitted program and selected with `jnp.where` — at TPU batch rates the
+  80k-hypothesis safeguard costs ~10 ms, cheaper than a host round-trip.
+
+Deviations (documented):
+  * the Adam refinement runs a fixed `refine_iters` schedule instead of the
+    reference's loss-plateau break counter (registration.py:167-185) —
+    idempotent at convergence, branch-free under XLA;
+  * rotations inside the refinement use the 6-D ortho parametrization
+    exactly as the reference (ortho2rotation, registration.py:16-64).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..core.kabsch import weighted_kabsch
+from ..core.se3 import integrate
+from ..ops.knn import find_nn
+from .ransac import RansacConfig, ransac_register
+
+
+def ortho6d_to_rotation(poses: jnp.ndarray) -> jnp.ndarray:
+    """6-D ortho parametrization -> rotation matrix (registration.py:16-64).
+
+    poses [..., 6]; columns of R are (x, y, z) after Gram-Schmidt.
+    """
+    x_raw = poses[..., 0:3]
+    y_raw = poses[..., 3:6]
+    x = x_raw / jnp.maximum(jnp.linalg.norm(x_raw, axis=-1, keepdims=True), 1e-8)
+    proj = jnp.sum(x * y_raw, axis=-1, keepdims=True) * x
+    y = y_raw - proj
+    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
+    z = jnp.cross(x, y)
+    return jnp.stack([x, y, z], axis=-1)  # columns
+
+
+def rotation_to_ortho6d(R: jnp.ndarray) -> jnp.ndarray:
+    """Inverse embedding: first two COLUMNS of R (Transformation.__init__,
+    registration.py:121-124)."""
+    return jnp.concatenate([R[..., :, 0], R[..., :, 1]], axis=-1)
+
+
+def high_dim_smooth_l1(X, Y, weights=None, quantization_size=1.0, eps=1.2e-7):
+    """HighDimSmoothL1Loss (DGR/core/loss.py:43-61)."""
+    sq = jnp.sum(((X - Y) / quantization_size) ** 2, axis=-1)
+    use_sq_half = 0.5 * (sq < 1.0).astype(X.dtype)
+    loss = (0.5 - use_sq_half) * (jnp.sqrt(sq + eps) - 0.5) + use_sq_half * sq
+    if weights is None:
+        return jnp.mean(loss)
+    return jnp.sum(loss * weights) / jnp.maximum(jnp.sum(weights), eps)
+
+
+def global_registration(
+    points: jnp.ndarray,        # [N, 3] source
+    trans_points: jnp.ndarray,  # [N, 3] target
+    weights: jnp.ndarray,       # [N]
+    quantization_size: float = 0.6,
+    refine_iters: int = 200,
+    lr: float = 1e-1,
+    lr_gamma: float = 0.999,
+):
+    """Weighted-Procrustes init + Adam SE(3) refinement (registration.py:135-194)."""
+    R0, t0 = weighted_kabsch(
+        points[None], trans_points[None], jnp.abs(weights)[None],
+        method="jacobi",
+    )
+    pose0 = rotation_to_ortho6d(R0[0])
+    params0 = {"rot6d": pose0, "trans": t0[0]}
+
+    tx = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(
+            optax.exponential_decay(lr, 1, lr_gamma)
+        ),
+    )
+    opt0 = tx.init(params0)
+
+    def loss_fn(p):
+        R = ortho6d_to_rotation(p["rot6d"])
+        warped = points @ R.T + p["trans"]
+        return high_dim_smooth_l1(
+            warped, trans_points, weights, quantization_size
+        )
+
+    def body(carry, _):
+        p, opt = carry
+        g = jax.grad(loss_fn)(p)
+        updates, opt = tx.update(g, opt, p)
+        p = optax.apply_updates(p, updates)
+        return (p, opt), None
+
+    (p, _), _ = lax.scan(body, (params0, opt0), None, length=refine_iters)
+    R = ortho6d_to_rotation(p["rot6d"])
+    return R, p["trans"]
+
+
+class DGRConfig(NamedTuple):
+    voxel_size: float = 0.3
+    clip_weight_thresh: float = 0.05     # DGR/config.py:76
+    wsum_floor: int = 4000               # deep_global_registration.py:404
+    safeguard_iters: int = 80_000        # :436-447
+    refine_iters: int = 200
+    nn_row_tile: int = 4096
+
+
+class DGRResult(NamedTuple):
+    transform: jnp.ndarray
+    weights: jnp.ndarray      # [N] per-correspondence inlier weights
+    idx1: jnp.ndarray         # [N] matched target row per source row
+    used_safeguard: jnp.ndarray  # [] bool
+
+
+def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig()):
+    """Build the jitted DGR register(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key).
+
+    c0/c1 are the voxel integer coords (stride-1) of each cloud — the 6-D
+    inlier-net coordinates are their concatenation per correspondence
+    (deep_global_registration.py:380-386).
+    """
+    from ..sparse.tensor import SparseTensor
+
+    rcfg = RansacConfig(
+        num_hypotheses=cfg.safeguard_iters,
+        inlier_thresh=2.0 * cfg.voxel_size,
+        prosac=False,
+        use_elc=True,
+    )
+
+    @jax.jit
+    def register(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key):
+        nn = find_nn(F0, F1, mask1=m1, row_tile=cfg.nn_row_tile)
+        idx1 = nn.idx
+        src = xyz0
+        tgt = xyz1[idx1]
+
+        coords6 = jnp.concatenate([c0, c1[idx1]], axis=1)  # [N, 6]
+        st6 = SparseTensor(coords6, jnp.ones((coords6.shape[0], 1)), m0, 1)
+        out = inlier_model.apply(inlier_variables, st6, train=False)
+        logits = out.feats[:, 0]
+        weights = jax.nn.sigmoid(logits) * m0
+        weights = jnp.where(weights < cfg.clip_weight_thresh, 0.0, weights)
+
+        wsum = jnp.sum(weights)
+        n = jnp.sum(m0.astype(jnp.int32))
+        wsum_thresh = jnp.maximum(cfg.wsum_floor, n) * cfg.clip_weight_thresh
+
+        R, t = global_registration(
+            src, tgt, weights,
+            quantization_size=2 * cfg.voxel_size,
+            refine_iters=cfg.refine_iters,
+        )
+        T_dgr = integrate(R, t)
+
+        sg = ransac_register(src, tgt, m0, key, rcfg)
+        use_sg = wsum < wsum_thresh
+        T = jnp.where(use_sg, sg.transform, T_dgr)
+        return DGRResult(T, weights, idx1, use_sg)
+
+    return register

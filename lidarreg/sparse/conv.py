@@ -115,7 +115,7 @@ def sparse_conv(
     if kmap is None:
         if in_table is None:
             in_table = table_for(x)
-        offsets = kernel_offsets(kernel_size, x.stride)
+        offsets = kernel_offsets(kernel_size, x.stride, x.coords.shape[1])
         kmap = kernel_map(in_table, x.valid, out_coords, out_valid, offsets)
 
     out = apply_conv(x.feats, kmap, weights, out_valid)
@@ -136,7 +136,7 @@ def sparse_conv_transpose(
     if kmap is None:
         if in_table is None:
             in_table = table_for(x)
-        offsets = kernel_offsets(kernel_size, out_stride)
+        offsets = kernel_offsets(kernel_size, out_stride, x.coords.shape[1])
         kmap = kernel_map(in_table, x.valid, out_coords, out_valid, offsets)
     out = apply_conv(x.feats, kmap, weights, out_valid)
     return SparseTensor(out_coords, out, out_valid, out_stride)

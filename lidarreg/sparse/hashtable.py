@@ -21,17 +21,14 @@ import jax.numpy as jnp
 INSERT_ROUNDS = 96
 _EMPTY = jnp.int32(2**31 - 1)
 
-# Two independent spatial-hash mixes (Teschner et al. constants + Knuth).
-_H1X = jnp.int32(73856093)
-_H1Y = jnp.int32(19349669)
-_H1Z = jnp.int32(83492791)
-_H2X = jnp.int32(-1640531527)
-_H2Y = jnp.int32(97523885)
-_H2Z = jnp.int32(51964263)
+# Two independent per-dimension spatial-hash mixes (Teschner et al. primes
+# extended to 6-D for DGR's 6-D inlier-net coordinates + Knuth constants).
+_P1 = (73856093, 19349669, 83492791, 49979687, 86028157, 7367287)
+_P2 = (-1640531527, 97523885, 51964263, 39916801, 15485863, 104729)
 
 
 class HashTable(NamedTuple):
-    table: jnp.ndarray   # [2T, 4] int32 — (x, y, z, row); row == _EMPTY if free
+    table: jnp.ndarray   # [2T, D+1] int32 — (coords..., row); row == _EMPTY if free
     mask: jnp.ndarray    # [] int32 — T - 1 (T = per-side size, power of two)
 
 
@@ -47,18 +44,23 @@ def _fmix(h):
     return h
 
 
+def _mix(c, primes):
+    h = c[..., 0] * jnp.int32(primes[0])
+    for d in range(1, c.shape[-1]):
+        h = h ^ c[..., d] * jnp.int32(primes[d])
+    return h
+
+
 def _h1(c, mask):
-    h = c[..., 0] * _H1X ^ c[..., 1] * _H1Y ^ c[..., 2] * _H1Z
-    return _fmix(h) & mask
+    return _fmix(_mix(c, _P1)) & mask
 
 
 def _h2(c, mask):
-    h = c[..., 0] * _H2X ^ c[..., 1] * _H2Y ^ c[..., 2] * _H2Z
-    return _fmix(h ^ jnp.int32(0x5BD1E995)) & mask
+    return _fmix(_mix(c, _P2) ^ jnp.int32(0x5BD1E995)) & mask
 
 
 def build_table(coords: jnp.ndarray, valid: jnp.ndarray, table_size: int):
-    """Insert valid rows of coords [V, 3]; per-side `table_size` = 2^k >= 2V.
+    """Insert valid rows of coords [V, D] (D <= 6); per-side size = 2^k >= 2V.
 
     Returns (HashTable, placed [V] bool).
     """
@@ -73,7 +75,7 @@ def build_table(coords: jnp.ndarray, valid: jnp.ndarray, table_size: int):
     from jax import lax
 
     tab_val0 = jnp.full((2 * T,), _EMPTY, jnp.int32)
-    tab_keys0 = jnp.zeros((2 * T, 3), jnp.int32)
+    tab_keys0 = jnp.zeros((2 * T, coords.shape[-1]), jnp.int32)
     side0 = jnp.zeros((v,), jnp.int32)
     placed0 = jnp.zeros((v,), bool)
     big = jnp.int32(2**31 - 1)
@@ -138,6 +140,7 @@ def lookup(table: HashTable, query: jnp.ndarray) -> jnp.ndarray:
     T = table.mask + 1
     e1 = table.table[_h1(query, table.mask)]            # [..., 4]
     e2 = table.table[_h2(query, table.mask) + T]
-    hit1 = (e1[..., 3] != _EMPTY) & jnp.all(e1[..., :3] == query, axis=-1)
-    hit2 = (e2[..., 3] != _EMPTY) & jnp.all(e2[..., :3] == query, axis=-1)
-    return jnp.where(hit1, e1[..., 3], jnp.where(hit2, e2[..., 3], -1))
+    d = query.shape[-1]
+    hit1 = (e1[..., d] != _EMPTY) & jnp.all(e1[..., :d] == query, axis=-1)
+    hit2 = (e2[..., d] != _EMPTY) & jnp.all(e2[..., :d] == query, axis=-1)
+    return jnp.where(hit1, e1[..., d], jnp.where(hit2, e2[..., d], -1))

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 @flax.struct.dataclass
 class SparseTensor:
-    coords: jnp.ndarray  # [V, 3] int32, multiples of `stride`
+    coords: jnp.ndarray  # [V, D] int32 (D=3 clouds, D=6 DGR pairs), x `stride`
     feats: jnp.ndarray   # [V, C] float
     valid: jnp.ndarray   # [V] bool
     # static metadata: kernel-offset sizes and downsample factors derive from
@@ -40,7 +40,8 @@ def downsample_coords(
     s2 = in_stride * 2
     q = jnp.where(valid[:, None], (coords // s2) * s2, jnp.int32(2**31 - 1))
     n = q.shape[0]
-    order = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))
+    keys = tuple(q[:, d] for d in reversed(range(q.shape[1])))
+    order = jnp.lexsort(keys)
     qs = q[order]
     diff = jnp.any(qs[1:] != qs[:-1], axis=1)
     newrun = jnp.concatenate([jnp.ones((1,), bool), diff])
@@ -48,21 +49,21 @@ def downsample_coords(
     newrun = newrun & real
     slot = jnp.cumsum(newrun.astype(jnp.int32)) - 1
     count = jnp.sum(newrun.astype(jnp.int32))
-    out = jnp.zeros((out_capacity, 3), jnp.int32)
+    out = jnp.zeros((out_capacity, coords.shape[1]), jnp.int32)
     write = jnp.where(newrun, slot, out_capacity)
     out = out.at[write].set(qs, mode="drop")
     out_valid = jnp.arange(out_capacity) < jnp.minimum(count, out_capacity)
     return out, out_valid
 
 
-def kernel_offsets(kernel_size: int, stride_units: int) -> jnp.ndarray:
-    """All K^3 offsets of a cubic kernel in coordinate units.
+def kernel_offsets(kernel_size: int, stride_units: int, dim: int = 3) -> jnp.ndarray:
+    """All K^dim offsets of a hypercubic kernel in coordinate units.
 
-    ME HYPER_CUBE region: offsets in {-(k//2)..k//2} * stride_units per axis.
-    Returns [K^3, 3] int32, center-first ordering not required (weights are
-    indexed consistently by this same enumeration).
+    ME HYPER_CUBE region: offsets in {-(k//2)..k//2} * stride_units per axis
+    (dim=6 serves DGR's 6-D inlier ConvNet). Returns [K^dim, dim] int32;
+    weights are indexed consistently by this same enumeration.
     """
     r = kernel_size // 2
     axis = jnp.arange(-r, kernel_size - r, dtype=jnp.int32) * stride_units
-    gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
-    return jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+    grids = jnp.meshgrid(*([axis] * dim), indexing="ij")
+    return jnp.stack([g.ravel() for g in grids], axis=1)

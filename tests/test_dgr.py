@@ -1,0 +1,151 @@
+"""DGR tests: 6-D sparse net, ortho6d, global registration, trainer."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidarreg.core import registration_success
+from lidarreg.models.fcgf import ResUNetBN2C
+from lidarreg.ops import voxelize_points
+from lidarreg.solvers.dgr import (
+    DGRConfig,
+    global_registration,
+    high_dim_smooth_l1,
+    make_dgr_register,
+    ortho6d_to_rotation,
+    rotation_to_ortho6d,
+)
+from lidarreg.sparse import SparseTensor
+from lidarreg.train.dgr_trainer import (
+    DGRTrainerConfig,
+    init_state,
+    make_train_step,
+)
+
+INLIER_NET = ResUNetBN2C(
+    dim=6, out_channels=1, normalize_feature=False,
+    channels=(0, 8, 16, 16, 32), tr_channels=(0, 8, 8, 8, 16),
+    conv1_kernel_size=3,
+)
+
+
+def make_problem(rng, n=512, inlier_frac=0.5):
+    from lidarreg.core.se3 import euler_to_rotation
+
+    R = np.asarray(euler_to_rotation(jnp.asarray([0.01, -0.02, 0.6])))
+    t = np.array([2.0, -1.0, 0.1], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    src = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    out = rng.choice(n, int(n * (1 - inlier_frac)), replace=False)
+    tgt[out] = rng.uniform(-30, 30, (len(out), 3))
+    tgt += rng.normal(0, 0.02, (n, 3)).astype(np.float32)
+    w = np.ones(n, np.float32)
+    w[out] = 0.0
+    return src, tgt, T, w
+
+
+class TestOrtho6d:
+    def test_roundtrip(self, rng):
+        from lidarreg.core.se3 import quat_to_rotation
+
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        R = np.asarray(quat_to_rotation(jnp.asarray(q))).astype(np.float32)
+        p = rotation_to_ortho6d(jnp.asarray(R))
+        R2 = np.asarray(ortho6d_to_rotation(p))
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+    def test_always_valid_rotation(self, rng):
+        p = jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32))
+        R = np.asarray(ortho6d_to_rotation(p))
+        np.testing.assert_allclose(
+            R @ R.transpose(0, 2, 1), np.broadcast_to(np.eye(3), (16, 3, 3)),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+class TestGlobalRegistration:
+    def test_recovers_transform_with_weights(self, rng):
+        src, tgt, T, w = make_problem(rng)
+        R, t = global_registration(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w),
+            refine_iters=100,
+        )
+        T_est = np.eye(4)
+        T_est[:3, :3] = np.asarray(R)
+        T_est[:3, 3] = np.asarray(t)
+        ok, re, te = registration_success(
+            jnp.asarray(T_est.astype(np.float32)), jnp.asarray(T)
+        )
+        assert bool(ok), f"RE={float(re)} TE={float(te)}"
+
+    def test_smooth_l1_shape(self, rng):
+        X = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        Y = X + 0.01
+        small = float(high_dim_smooth_l1(X, Y, quantization_size=1.0))
+        big = float(high_dim_smooth_l1(X, Y + 10.0, quantization_size=1.0))
+        assert small < 1e-3 < big
+
+
+class TestDGRRegister:
+    def test_end_to_end_geometry(self, rng):
+        # untrained inlier net -> weights near sigmoid(0)=0.5 everywhere ->
+        # weighted procrustes degenerates; the SAFEGUARD must catch it OR
+        # the refine recovers. We verify the full jitted program runs and
+        # the safeguard branch produces a correct pose when forced.
+        n = 512
+        src, tgt_full, T, w = make_problem(rng, n=n, inlier_frac=0.6)
+        variables = INLIER_NET.init(
+            jax.random.PRNGKey(0),
+            SparseTensor(jnp.zeros((n, 6), jnp.int32), jnp.ones((n, 1)),
+                         jnp.ones((n,), bool), 1),
+            train=False,
+        )
+        reg = make_dgr_register(
+            INLIER_NET, variables,
+            DGRConfig(safeguard_iters=4096, refine_iters=50,
+                      clip_weight_thresh=0.7),  # force safeguard
+        )
+        # features: noisy positions aligned by GT so NN matching works
+        F0 = jnp.asarray(src @ T[:3, :3].T + T[:3, 3] + rng.normal(0, 0.05, (n, 3)).astype(np.float32))
+        F1 = jnp.asarray(tgt_full)
+        c0 = jnp.asarray(np.floor(src / 0.3).astype(np.int32))
+        c1 = jnp.asarray(np.floor(tgt_full / 0.3).astype(np.int32))
+        m = jnp.ones(n, bool)
+        res = reg(F0, F1, jnp.asarray(src), jnp.asarray(tgt_full), c0, c1,
+                  m, m, jax.random.PRNGKey(1))
+        assert bool(res.used_safeguard)
+        ok, re, te = registration_success(res.transform, jnp.asarray(T))
+        assert bool(ok), f"RE={float(re)} TE={float(te)}"
+
+
+class TestDGRTrainer:
+    def test_training_improves_inlier_bce(self, rng):
+        n = 384
+        src, tgt_full, T, w = make_problem(rng, n=n, inlier_frac=0.5)
+        batch = {
+            "F0": jnp.asarray(src @ T[:3, :3].T + T[:3, 3] + rng.normal(0, 0.05, (n, 3)).astype(np.float32)),
+            "F1": jnp.asarray(tgt_full),
+            "xyz0": jnp.asarray(src),
+            "xyz1": jnp.asarray(tgt_full),
+            "c0": jnp.asarray(np.floor(src / 0.3).astype(np.int32)),
+            "c1": jnp.asarray(np.floor(tgt_full / 0.3).astype(np.int32)),
+            "m0": jnp.ones(n, bool),
+            "m1": jnp.ones(n, bool),
+            "T_gt": jnp.asarray(T),
+        }
+        cfg = DGRTrainerConfig(lr=3e-3, steps_per_epoch=10)
+        ex6 = SparseTensor(jnp.zeros((n, 6), jnp.int32), jnp.ones((n, 1)),
+                           jnp.ones((n,), bool), 1)
+        state = init_state(INLIER_NET, cfg, ex6, jax.random.PRNGKey(0))
+        step = make_train_step(INLIER_NET, cfg)
+        bces = []
+        for _ in range(6):
+            state, m = step(state, batch)
+            assert float(m["grad_finite"]) == 1.0
+            bces.append(float(m["bce"]))
+        assert bces[-1] < bces[0]
+        assert 0.3 < float(m["hit_ratio"]) < 0.8

@@ -1,0 +1,228 @@
+"""Refinement family: normals, BBR-F, symmetric point-to-plane ICP.
+
+Replaces the FCGF_FAST refinement experiment's three refiners
+(FCGF_FAST/net/refinement_tester.py:75-93):
+  * ICP — solvers/icp.py (point-to-point);
+  * BBR-F (best-buddies registration, differentiable) —
+    FCGF_FAST/net/BBR_F.py:204-322: Adam over 3 Euler angles + translation,
+    point-to-plane loss over mutual-nearest ("best buddy") pairs, 100
+    iterations, returning the minimum-loss iterate;
+  * symmetric ICP — replaces the external trimesh2 `mesh_align` binary
+    (FCGF_FAST/net/symmetric_icp.py:47-82) with an in-graph Gauss-Newton on
+    the symmetric point-to-plane objective [Rusinkiewicz 2019].
+
+TPU adaptations (documented deviations):
+  * normals via fixed-k grid-neighborhood PCA (smallest eigenvector of the
+    local covariance) instead of Open3D's KD-tree hybrid search
+    (BBR_F.py:236-242);
+  * best-buddy pairs via the cuckoo voxel grid (27-cell mutual NN) instead
+    of full O(N^2) distance matrices chunked at nn_max_n=5000
+    (BBR_F.py:148-191) — same pairs at benchmark densities, bounded memory.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..core.se3 import euler_to_rotation, integrate, inverse
+from .icp import build_grid, grid_nn
+from ..sparse.hashtable import lookup
+from ..sparse.tensor import kernel_offsets
+
+
+def estimate_normals(
+    pts: jnp.ndarray, valid: jnp.ndarray, radius: float = 0.6, k: int = 13
+) -> jnp.ndarray:
+    """Per-point normals: smallest eigenvector of the k-neighbor covariance.
+
+    Neighborhood = nearest stored point in each of the 27 grid cells around
+    the query (cell = radius); parity target BBR_F.py:236-242 (o3d
+    estimate_normals, knn 13 / hybrid radius).
+    """
+    n = pts.shape[0]
+    size = 1
+    while size < 2 * n:
+        size *= 2
+    table = build_grid(pts, valid, radius, size)
+    q = jnp.floor(pts / radius).astype(jnp.int32)
+    offs = kernel_offsets(3, 1)
+    nb = lookup(table, q[None] + offs[:, None])          # [27, N]
+    hit = (nb >= 0) & valid[None]
+    nb_safe = jnp.where(hit, nb, 0)
+    nbp = pts[nb_safe]                                    # [27, N, 3]
+    w = hit[..., None].astype(pts.dtype)
+    cnt = jnp.maximum(jnp.sum(w, axis=0), 1.0)
+    mean = jnp.sum(nbp * w, axis=0) / cnt
+    d = (nbp - mean) * w
+    cov = jnp.einsum("kni,knj->nij", d, d) / cnt[..., None]
+    # smallest eigenvector of each 3x3 covariance
+    _, vecs = jnp.linalg.eigh(cov)
+    normals = vecs[..., 0]
+    del k
+    return normals * valid[:, None]
+
+
+def _mutual_bb_pairs(warped_a, va, b, vb, table_b, cell):
+    """Best-buddy (mutual grid-NN) pairs between the warped source and the
+    target. Returns (matched target rows [N], bb mask [N])."""
+    row_b, d2_ab = _row_of(table_b, b, warped_a, cell)
+    size = 1
+    while size < 2 * warped_a.shape[0]:
+        size *= 2
+    table_a = build_grid(warped_a, va, cell, size)
+    # mutual: the matched target point's nearest warped-source row is me
+    row_back, _ = _row_of(table_a, warped_a, b[row_b], cell)
+    n = warped_a.shape[0]
+    is_bb = (row_back == jnp.arange(n)) & va & vb[row_b] & jnp.isfinite(d2_ab)
+    return row_b, is_bb
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def bbr_f(
+    src: jnp.ndarray, src_valid: jnp.ndarray,
+    tgt: jnp.ndarray, tgt_valid: jnp.ndarray,
+    n_iterations: int = 100,
+    table_size: int | None = None,
+    angles_lr: float = 2e-4,
+    trans_lr: float = 2e-4,
+):
+    """Best-buddies refinement from identity; returns [4,4] src->tgt motion.
+
+    Parity: BBR_F.py:267-322 — Adam(2e-4) on (theta, phi, psi, t), 100
+    iterations, point-to-plane loss over best-buddy pairs, minimum-loss
+    iterate wins.
+    """
+    n_tgt = tgt.shape[0]
+    if table_size is None:
+        table_size = 1
+        while table_size < 2 * n_tgt:
+            table_size *= 2
+    cell = 1.0
+    table_b = build_grid(tgt, tgt_valid, cell, table_size)
+    tgt_normals = estimate_normals(tgt, tgt_valid)
+
+    params0 = {"angles": jnp.zeros(3), "trans": jnp.zeros(3)}
+    tx = optax.adam(1.0)  # per-group lrs applied manually below
+    opt0 = tx.init(params0)
+    lr = {"angles": angles_lr, "trans": trans_lr}
+
+    def pose(p):
+        R = euler_to_rotation(p["angles"])
+        return R, p["trans"]
+
+    def loss_fn(p):
+        R, t = pose(p)
+        warped = src @ R.T + t
+        row_b, is_bb = _mutual_bb_pairs(
+            warped, src_valid, tgt, tgt_valid, table_b, cell
+        )
+        # point-to-plane residual over best buddies (BBR_F.py:9-40)
+        diff = warped - tgt[row_b]
+        res = jnp.sum(diff * tgt_normals[row_b], axis=-1)
+        w = is_bb.astype(src.dtype)
+        return jnp.sum((res**2) * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def body(carry, _):
+        p, opt, best_loss, best_p = carry
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, opt = tx.update(g, opt, p)
+        updates = {k: updates[k] * lr[k] for k in updates}
+        p = optax.apply_updates(p, updates)
+        better = loss < best_loss
+        best_p = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), carry[0], best_p
+        )
+        best_loss = jnp.minimum(loss, best_loss)
+        return (p, opt, best_loss, best_p), loss
+
+    (p, _, _, best_p), _ = lax.scan(
+        body, (params0, opt0, jnp.inf, params0), None, length=n_iterations
+    )
+    R, t = pose(best_p)
+    return integrate(R, t)
+
+
+def _row_of(table, pts, query, cell):
+    """Row index in `pts` of the stored grid point nearest to each query."""
+    q = jnp.floor(query / cell).astype(jnp.int32)
+    offs = kernel_offsets(3, 1)
+    cand = lookup(table, q[None] + offs[:, None])
+    hit = cand >= 0
+    cand_safe = jnp.where(hit, cand, 0)
+    d2 = jnp.sum((pts[cand_safe] - query[None]) ** 2, axis=-1)
+    d2 = jnp.where(hit, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=0)
+    row = jnp.take_along_axis(cand_safe, best[None], axis=0)[0]
+    return row, jnp.take_along_axis(d2, best[None], axis=0)[0]
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def symmetric_icp(
+    src: jnp.ndarray, src_valid: jnp.ndarray,
+    tgt: jnp.ndarray, tgt_valid: jnp.ndarray,
+    init_T: jnp.ndarray,
+    max_iter: int = 20,
+    table_size: int | None = None,
+    max_corr_dist: float = 1.0,
+):
+    """Symmetric point-to-plane ICP (Gauss-Newton on a 6-dof twist).
+
+    Objective per pair (p, q): r = (p - q) . (n_p + n_q); linearized normal
+    equations solved each iteration (Rusinkiewicz, "A Symmetric Objective
+    Function for ICP", 2019). Replaces the trimesh2 `mesh_align` binary +
+    .ply handshake (FCGF_FAST/net/symmetric_icp.py:10-82).
+    """
+    n_tgt = tgt.shape[0]
+    if table_size is None:
+        table_size = 1
+        while table_size < 2 * n_tgt:
+            table_size *= 2
+    cell = max_corr_dist * 0.75
+    table = build_grid(tgt, tgt_valid, cell, table_size)
+    n_src = estimate_normals(src, src_valid)
+    n_tgt_arr = estimate_normals(tgt, tgt_valid)
+
+    def body(_, T):
+        R, t = T[:3, :3], T[:3, 3]
+        warped = src @ R.T + t
+        wn = n_src @ R.T
+        row, d2 = _row_of(table, tgt, warped, cell)
+        q = tgt[row]
+        nq = n_tgt_arr[row]
+        valid = (d2 < max_corr_dist**2) & src_valid & tgt_valid[row]
+        w = valid.astype(src.dtype)
+
+        nsum = wn + nq
+        r = jnp.sum((warped - q) * nsum, axis=-1)
+        J_w = jnp.cross(warped, nsum)                 # d r / d omega
+        J = jnp.concatenate([J_w, nsum], axis=-1)     # [N, 6]
+        A = jnp.einsum("ni,n,nj->ij", J, w, J, precision="highest")
+        b = jnp.einsum("ni,n->i", J, w * r, precision="highest")
+        A = A + 1e-6 * jnp.eye(6)
+        delta = -jnp.linalg.solve(A, b)
+        omega, dt = delta[:3], delta[3:]
+        dR = euler_to_rotation(omega)  # small-angle: euler ~ axis increments
+        T_new = integrate(dR @ R, dR @ t + dt)
+        good = jnp.sum(w) >= 6.0
+        return jnp.where(good, T_new, T)
+
+    return lax.fori_loop(0, max_iter, body, init_T.astype(jnp.float32))
+
+
+def refine_all(src, src_valid, tgt, tgt_valid, coarse_T,
+               icp_fn=None, bbr_iters: int = 100):
+    """Run ICP + BBR-F + symmetric ICP from a coarse motion — the refinement
+    experiment protocol (refinement_tester.py:75-93: each refiner consumes
+    the coarse motion; BBR-F refines the residual from the coarse warp)."""
+    from .icp import icp_point_to_point
+
+    T_icp = icp_point_to_point(src, src_valid, tgt, tgt_valid, coarse_T)
+    warped = src @ coarse_T[:3, :3].T + coarse_T[:3, 3]
+    T_bbr_res = bbr_f(warped, src_valid, tgt, tgt_valid, bbr_iters)
+    T_bbr = T_bbr_res @ coarse_T
+    T_sym = symmetric_icp(src, src_valid, tgt, tgt_valid, coarse_T)
+    return {"ICP": T_icp, "BBR-F": T_bbr, "symICP": T_sym}

@@ -1,0 +1,301 @@
+"""Training CLI — reference protocol: Experiments/train.py / FCGF_FAST/
+train.py / DGR/train.py, unified behind one flag system.
+
+  python -m lidarreg.cli.train --model pointdsc --dataset K --synthetic true \\
+      --epochs 2 --steps_per_epoch 20 [--batch_size 4] [--outdir ...]
+  python -m lidarreg.cli.train --model fcgf ...
+  python -m lidarreg.cli.train --model dgr --fcgf_weights_file ckpt.msgpack ...
+
+The reference spawns one NCCL process per GPU with manual grad all-reduce
+(Experiments/train.py:45-64); here a single process drives a `data`-axis
+mesh over every visible device (shard_map + pmean — parallel/mesh.py), so
+1 chip and N chips run the same code. Checkpoints carry a config-snapshot
+JSON next to the weights (train.py:31-43 discipline); scalar metrics stream
+to metrics.jsonl (TensorBoard stand-in); the best-validation-recall snapshot
+is kept separately (libs/trainer.py:284-292).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .test import str2bool
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("lidarreg train")
+    p.add_argument("--model", required=True,
+                   choices=["pointdsc", "fcgf", "dgr"])
+    p.add_argument("--dataset", type=str, default="K")
+    p.add_argument("--synthetic", type=str2bool, default=True)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--steps_per_epoch", type=int, default=25)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="pairs per device per step (global = x num_devices)")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--num_node", type=int, default=1000)  # train default (config.py)
+    p.add_argument("--capacity", type=int, default=8192)
+    p.add_argument("--voxel_size", type=float, default=0.3)
+    p.add_argument("--fcgf_weights_file", type=str, default=None)
+    p.add_argument("--outdir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--use_mesh", type=str2bool, default=False,
+                   help="shard the step over all devices (DP)")
+    p.add_argument("--tiny", type=str2bool, default=False,
+                   help="tiny network configs (CI smoke tests)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import make_dataset
+    from ..data.pipeline import prepare_sparse_input
+    from ..parallel.mesh import get_mesh
+    from ..utils.checkpoint import save_variables
+    from ..utils.logging import MetricsLogger, Tee, generate_output_dir
+
+    outdir = args.outdir or generate_output_dir(
+        "outputs", args.dataset, "train", args.model
+    )
+    tee = Tee(os.path.join(outdir, "log.txt"))
+    metrics_log = MetricsLogger(os.path.join(outdir, "metrics.jsonl"))
+    mesh = get_mesh() if args.use_mesh else None
+    n_dev = len(jax.devices()) if mesh else 1
+
+    train_ds = make_dataset(args.dataset, phase="train", synthetic=args.synthetic)
+    val_ds = make_dataset(args.dataset, phase="validation",
+                          synthetic=args.synthetic)
+    rng = np.random.default_rng(args.seed)
+    cap = args.capacity
+    pt_cap = cap * 4
+
+    def pad_cloud(c):
+        out = np.full((pt_cap, 3), 1e7, np.float32)
+        m = min(len(c), pt_cap)
+        out[:m] = c[:m]
+        return jnp.asarray(out)
+
+    def voxelized(c):
+        st, xyz = prepare_sparse_input(pad_cloud(c), args.voxel_size, cap)
+        return st, xyz
+
+    # ------------------------------------------------------------------ #
+    if args.model == "fcgf":
+        from ..models.fcgf import ResUNetBN2C
+        from ..train.fcgf_trainer import (
+            FCGFTrainerConfig, init_state, make_train_step,
+        )
+
+        model = ResUNetBN2C(
+            channels=(0, 8, 16, 16, 32), tr_channels=(0, 8, 8, 8, 16),
+            out_channels=8, conv1_kernel_size=3,
+        ) if args.tiny else ResUNetBN2C()
+        cfg = FCGFTrainerConfig(
+            steps_per_epoch=args.steps_per_epoch,
+            **({"lr": args.lr} if args.lr else {}),
+        )
+
+        def sample_batch(ds, key):
+            i = int(rng.integers(len(ds)))
+            T, a, b = ds.get_pair(i)
+            st0, xyz0 = voxelized(a)
+            st1, xyz1 = voxelized(b)
+            return {
+                "st0": st0, "st1": st1, "xyz0": xyz0, "xyz1": xyz1,
+                "T_gt": jnp.asarray(T.astype(np.float32)), "key": key,
+            }
+
+        ex = sample_batch(train_ds, jax.random.PRNGKey(0))
+        state = init_state(model, cfg, ex["st0"], jax.random.PRNGKey(args.seed))
+        step = make_train_step(model, cfg, mesh=mesh)
+
+        def run_step(state, key):
+            batch = sample_batch(train_ds, key)
+            if mesh:
+                batch = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), batch
+                )
+            return step(state, batch)
+
+        def val_metric(state):
+            # validation loss on a few pairs
+            losses = []
+            vstep = make_train_step(model, cfg._replace(lr=0.0), mesh=None)
+            for k in range(4):
+                b = sample_batch(val_ds, jax.random.PRNGKey(1000 + k))
+                _, m = vstep(state, b)
+                losses.append(float(m["loss"]))
+            return -float(np.mean(losses))  # higher is better
+
+        params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
+
+    elif args.model == "pointdsc":
+        from ..models import PointDSC
+        from ..models.fcgf import ResUNetBN2C
+        from ..data.pipeline import FeaturePipeline
+        from ..train.pointdsc_trainer import (
+            PointDSCTrainerConfig, init_state, make_train_step,
+        )
+        from ..train.losses import transformation_loss
+
+        fcgf = ResUNetBN2C()
+        dummy_st, _ = voxelized(np.zeros((64, 3), np.float32))
+        if args.fcgf_weights_file:
+            from ..utils.checkpoint import load_variables
+            fcgf_vars = load_variables(args.fcgf_weights_file)
+        else:
+            fcgf_vars = fcgf.init(jax.random.PRNGKey(0), dummy_st, train=False)
+        pipe = FeaturePipeline(
+            jax.jit(lambda v, x: fcgf.apply(v, x, train=False)),
+            fcgf_vars, args.voxel_size, cap, pt_cap, args.num_node,
+        )
+
+        model = PointDSC(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2)
+        cfg = PointDSCTrainerConfig(
+            steps_per_epoch=args.steps_per_epoch,
+            **({"lr": args.lr} if args.lr else {}),
+        )
+
+        def sample_batch(ds, key):
+            outs = []
+            for b in range(args.batch_size * max(n_dev, 1)):
+                i = int(rng.integers(len(ds)))
+                key, sub = jax.random.split(key)
+                outs.append(pipe.pointdsc_batch(ds, i, sub))
+            return {
+                k: jnp.concatenate([o[k] for o in outs], axis=0)
+                for k in outs[0]
+            }
+
+        ex = sample_batch(train_ds, jax.random.PRNGKey(0))
+        state = init_state(model, cfg, ex, jax.random.PRNGKey(args.seed))
+        step = make_train_step(model, cfg, mesh=mesh)
+
+        def run_step(state, key):
+            return step(state, sample_batch(train_ds, key))
+
+        def val_metric(state):
+            b = sample_batch(val_ds, jax.random.PRNGKey(999))
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                {k: b[k] for k in ("corr_pos", "src_keypts", "tgt_keypts")},
+                testing=False, train=False,
+            )
+            tl = transformation_loss(
+                out["final_trans"], b["gt_trans"], b["src_keypts"],
+                b["tgt_keypts"], out["final_labels"],
+            )
+            return float(tl["recall"])
+
+        params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
+
+    else:  # dgr
+        from ..models.fcgf import ResUNetBN2C
+        from ..sparse.tensor import SparseTensor
+        from ..train.dgr_trainer import (
+            DGRTrainerConfig, init_state, make_train_step,
+        )
+
+        fcgf = ResUNetBN2C(
+            channels=(0, 8, 16, 16, 32), tr_channels=(0, 8, 8, 8, 16),
+            out_channels=8, conv1_kernel_size=3,
+        ) if args.tiny else ResUNetBN2C()
+        dummy_st, _ = voxelized(np.zeros((64, 3), np.float32))
+        if args.fcgf_weights_file:
+            from ..utils.checkpoint import load_variables
+            fcgf_vars = load_variables(args.fcgf_weights_file)
+        else:
+            fcgf_vars = fcgf.init(jax.random.PRNGKey(0), dummy_st, train=False)
+        fcgf_apply = jax.jit(lambda v, x: fcgf.apply(v, x, train=False))
+
+        if args.tiny:
+            inlier_net = ResUNetBN2C(
+                dim=6, out_channels=1, normalize_feature=False,
+                channels=(0, 8, 16, 16, 32), tr_channels=(0, 8, 8, 8, 16),
+                conv1_kernel_size=3,
+            )
+        else:
+            inlier_net = ResUNetBN2C(dim=6, out_channels=1,
+                                     normalize_feature=False)
+        cfg = DGRTrainerConfig(
+            steps_per_epoch=args.steps_per_epoch,
+            **({"lr": args.lr} if args.lr else {}),
+        )
+
+        def sample_batch(ds, key):
+            i = int(rng.integers(len(ds)))
+            T, a, b = ds.get_pair(i)
+            st0, xyz0 = voxelized(a)
+            st1, xyz1 = voxelized(b)
+            f0 = fcgf_apply(fcgf_vars, st0)
+            f1 = fcgf_apply(fcgf_vars, st1)
+            return {
+                "F0": f0.feats, "F1": f1.feats,
+                "xyz0": xyz0, "xyz1": xyz1,
+                "c0": st0.coords, "c1": st1.coords,
+                "m0": f0.valid, "m1": f1.valid,
+                "T_gt": jnp.asarray(T.astype(np.float32)),
+            }
+
+        ex6 = SparseTensor(
+            jnp.zeros((cap, 6), jnp.int32), jnp.ones((cap, 1)),
+            jnp.ones((cap,), bool), 1,
+        )
+        state = init_state(inlier_net, cfg, ex6, jax.random.PRNGKey(args.seed))
+        step = make_train_step(inlier_net, cfg, mesh=mesh)
+
+        def run_step(state, key):
+            batch = sample_batch(train_ds, key)
+            if mesh:
+                batch = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), batch
+                )
+            return step(state, batch)
+
+        def val_metric(state):
+            _, m = make_train_step(inlier_net, cfg)(
+                state, sample_batch(val_ds, jax.random.PRNGKey(999))
+            )
+            return -float(m["bce"])
+
+        params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
+
+    # ------------------------------------------------------------------ #
+    key = jax.random.PRNGKey(args.seed)
+    best = -np.inf
+    gstep = 0
+    for epoch in range(args.epochs):
+        for it in range(args.steps_per_epoch):
+            key, sub = jax.random.split(key)
+            state, m = run_step(state, sub)
+            gstep += 1
+            if it % 10 == 0:
+                tee(f"epoch {epoch} it {it} " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(m.items())
+                ))
+                metrics_log.log(gstep, **m)
+        vm = val_metric(state)
+        tee(f"epoch {epoch} val_metric {vm:.4f}")
+        metrics_log.log(gstep, val_metric=vm)
+        save_variables(
+            os.path.join(outdir, f"model_{epoch}.msgpack"), params_of(state),
+            config=vars(args),
+        )
+        if vm > best:
+            best = vm
+            save_variables(
+                os.path.join(outdir, "model_best.msgpack"), params_of(state),
+                config=vars(args),
+            )
+    tee(f"done; best val metric {best:.4f}; outputs in {outdir}")
+    return outdir
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,7 @@ def evaluate_pairs(
     world_size: int = 1,
     progress: bool = False,
     warmup: bool = True,
+    out_transforms: list | None = None,
 ) -> np.ndarray:
     """Run the FR-style benchmark over `dataset`, sharded by (rank, world).
 
@@ -142,6 +143,11 @@ def evaluate_pairs(
             n_filt, float(gt_inlier[keep].sum()) / max(n_filt, 1),
             int(p.session_ind[i]), int(p.src_ind[i]), int(p.tgt_ind[i]),
         ]
+        if out_transforms is not None:
+            out_transforms.append(
+                (int(p.session_ind[i]), int(p.src_ind[i]), int(p.tgt_ind[i]),
+                 np.asarray(res.transform))
+            )
         if progress and rank == 0:
             print(
                 f"{time.strftime('%m/%d %H:%M:%S')} Finished pair:{i}/{n_total}",

@@ -64,6 +64,10 @@ def get_args(argv=None):
     p.add_argument("--analysis", action="store_true",
                    help="merge shard files and print the report")
     p.add_argument("--seed", type=int, default=51)  # benchmark_utils.py:27-38
+    p.add_argument("--num_repeats", type=int, default=1,
+                   help="repeat eval for mean/std (FCGF_FAST/test.py:39-82)")
+    p.add_argument("--export_coarse", type=str2bool, default=False,
+                   help="write coarse_motions.txt for the refinement test")
     return p.parse_args(argv)
 
 
@@ -165,18 +169,64 @@ def main(argv=None):
     )
     cfg = EvalConfig(algo=args.algo, voxel_size=args.voxel_size,
                      max_samples=args.max_samples)
-    stats = evaluate_pairs(
-        ds, features_for, fr, cfg, jax.random.PRNGKey(args.seed),
-        rank=args.rank, world_size=args.world_size, progress=True,
-    )
+    repeat_recalls, repeat_times = [], []
+    stats = None
+    transforms = [] if args.export_coarse else None
+    for rep in range(args.num_repeats):
+        if transforms is not None:
+            transforms.clear()
+        stats = evaluate_pairs(
+            ds, features_for, fr, cfg, jax.random.PRNGKey(args.seed + rep),
+            rank=args.rank, world_size=args.world_size, progress=True,
+            out_transforms=transforms,
+        )
+        repeat_recalls.append(100.0 * stats[:, 0].mean())
+        repeat_times.append(stats[:, 9].mean())
 
     if args.tmp_file_base:
         save_shard(stats, args.tmp_file_base, args.world_size, args.rank)
         return None
     report = analyze_stats(stats, args.algo)
+    if args.num_repeats > 1:
+        # repeat-based statistics (FCGF_FAST/test.py:39-82,155-157)
+        r = np.asarray(repeat_recalls)
+        t = np.asarray(repeat_times)
+        report += (
+            f"repeats({args.num_repeats}): recall "
+            f"{r.mean():.2f}±{r.std():.2f}%, reg time "
+            f"{t.mean():.3f}±{t.std():.3f}s\n"
+        )
     print(report)
     write_log(outdir, report, vars(args))
+    os.makedirs(outdir, exist_ok=True)
     np.save(os.path.join(outdir, "raw_stats.npy"), stats)
+
+    # failure artifacts: drive/t0/t1 + errors per failed pair
+    # (FCGF_FAST/test.py:58-67, DGR/scripts/test_kitti.py:108-150)
+    failed = stats[stats[:, 0] == 0]
+    with open(os.path.join(outdir, "failures.txt"), "w") as f:
+        f.write("session t0 t1 RE_deg TE_cm\n")
+        for row in failed:
+            f.write(
+                f"{int(row[19])} {int(row[20])} {int(row[21])} "
+                f"{row[1]:.4f} {row[2]:.4f}\n"
+            )
+
+    if transforms is not None:
+        # coarse-motion export consumed by cli.refinement
+        # (FCGF_FAST/test.py:86-97 format)
+        path = os.path.join(outdir, "coarse_motions.txt")
+        transforms.sort(key=lambda r: (r[0], r[1]))
+        with open(path, "w") as f:
+            f.write(
+                "session_ind source_ind target_ind "
+                + " ".join(f"mot{k}" for k in range(16)) + "\n"
+            )
+            for (si, t0_, t1_, T) in transforms:
+                f.write(
+                    f"{si} {t0_} {t1_} "
+                    + " ".join(f"{x:.16f}" for x in T.flatten()) + "\n"
+                )
     return report
 
 

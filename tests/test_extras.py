@@ -1,0 +1,89 @@
+"""Tests: subsampling toolbox, OANet, refinement-CLI analysis format."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidarreg.ops.subsample import (
+    estimate_ground_plane,
+    farthest_point_sampling,
+    radius_normalized_sampling,
+    remove_road,
+)
+
+
+class TestSubsample:
+    def test_fps_spread(self, rng):
+        pts = jnp.asarray(rng.uniform(-10, 10, (2000, 3)).astype(np.float32))
+        v = jnp.ones(2000, bool)
+        idx = np.asarray(farthest_point_sampling(pts, v, 64))
+        assert len(np.unique(idx)) == 64
+        # FPS min pairwise distance beats random sampling's
+        sub = np.asarray(pts)[idx]
+        d = np.linalg.norm(sub[:, None] - sub[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        rnd = np.asarray(pts)[rng.choice(2000, 64, replace=False)]
+        dr = np.linalg.norm(rnd[:, None] - rnd[None], axis=-1)
+        np.fill_diagonal(dr, np.inf)
+        assert d.min() > dr.min()
+
+    def test_radius_normalized(self, rng):
+        # dense near-field + sparse far-field: sampler should upweight far
+        near = rng.uniform(-5, 5, (5000, 3))
+        far = rng.uniform(40, 60, (500, 3))
+        pts = jnp.asarray(np.vstack([near, far]).astype(np.float32))
+        v = jnp.ones(5500, bool)
+        idx = np.asarray(radius_normalized_sampling(
+            pts, v, 500, jax.random.PRNGKey(0), alpha=2.0
+        ))
+        frac_far = (idx >= 5000).mean()
+        assert frac_far > 500 / 5500  # overrepresented vs uniform
+
+    def test_ground_removal(self, rng):
+        ground = np.c_[rng.uniform(-20, 20, (3000, 2)), rng.normal(0, 0.03, (3000, 1))]
+        objects = np.c_[rng.uniform(-20, 20, (500, 2)), rng.uniform(1.0, 3.0, (500, 1))]
+        pts = jnp.asarray(np.vstack([ground, objects]).astype(np.float32))
+        v = jnp.ones(3500, bool)
+        n, d = estimate_ground_plane(pts, v)
+        assert abs(float(n[2])) > 0.99  # horizontal plane
+        kept = np.asarray(remove_road(pts, v))
+        assert kept[3000:].mean() > 0.95   # objects kept
+        assert kept[:3000].mean() < 0.05   # ground removed
+
+
+class TestOANet:
+    def test_forward_and_pose(self, rng):
+        from lidarreg.models.oanet import OANet
+        from lidarreg.core import registration_success
+
+        n = 256
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [1.0, 2.0, 0.0]
+        src = rng.uniform(-20, 20, (1, n, 3)).astype(np.float32)
+        tgt = (src + T[:3, 3]).astype(np.float32)
+        data = {
+            "corr_pos": jnp.asarray(np.concatenate([src, tgt], -1)),
+            "src_keypts": jnp.asarray(src),
+            "tgt_keypts": jnp.asarray(tgt),
+        }
+        model = OANet(num_channels=32, num_layers=4, clusters=32)
+        variables = model.init(jax.random.PRNGKey(0), data, train=False)
+        out = model.apply(variables, data, train=False)
+        assert out["final_labels"].shape == (1, n)
+        # all correspondences are perfect: any nonneg weighting recovers T
+        ok, _, _ = registration_success(out["final_trans"][0], jnp.asarray(T))
+        assert bool(ok)
+
+
+class TestRefinementAnalysis:
+    def test_format(self):
+        from lidarreg.cli.refinement import analyze_refinement_stats
+
+        stats = np.tile(
+            np.asarray([[1, 0.05, 0.5, 0.1, 1, 0.06, 0.6, 0.2, 0, 0.9, 9.0, 0.3]]),
+            (10, 1),
+        )
+        rep = analyze_refinement_stats(stats)
+        assert "ICP          | recall: 100.00" in rep
+        assert "BBR-F        | recall: 100.00" in rep
+        assert "Symmetric ICP| recall: 0.00" in rep
+        assert "(median)" in rep and "(95%)" in rep

@@ -55,6 +55,7 @@ def find_nn(
     return_2nd: bool = False,
     row_tile: int = 4096,
     precision: str = "highest",
+    backend: str = "jnp",
 ) -> NNResult:
     """Nearest (and optionally 2nd-nearest) neighbor of each F0 row in F1.
 
@@ -64,7 +65,17 @@ def find_nn(
 
     F0: [N0, D], F1: [N1, D]. `mask1` marks valid F1 rows (padding -> False).
     N0 is padded up to a multiple of `row_tile` internally.
+
+    backend="pallas" routes through the fused VMEM-resident top-2 kernel
+    (ops.pallas_knn) — bit-identical results, no [N0, N1] HBM block
+    materialization; "jnp" is the reference path and the CPU default.
     """
+    if backend == "pallas":
+        from .pallas_knn import knn_top2_pallas
+
+        m1 = mask1 if mask1 is not None else jnp.ones(F1.shape[0], bool)
+        i1, d1, i2, d2 = knn_top2_pallas(F0, F1, m1)
+        return NNResult(i1, d1, i2, d2)
     n0 = F0.shape[0]
     tile = min(row_tile, max(n0, 8))
     n_pad = (-n0) % tile

@@ -133,3 +133,32 @@ class TestKNN:
         res = knn_mod.find_nn(jnp.asarray(F0), jnp.asarray(F1), row_tile=16)
         d = np.linalg.norm(F0[:, None] - F1[None], axis=-1)
         np.testing.assert_array_equal(np.asarray(res.idx), d.argmin(axis=1))
+
+
+class TestPallasKNN:
+    def test_matches_jnp_interpret(self, rng):
+        import jax
+        from lidarreg.ops.pallas_knn import knn_top2_pallas
+
+        F0 = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+        F1 = jnp.asarray(rng.normal(size=(700, 16)).astype(np.float32))
+        mask1 = np.ones(700, bool)
+        mask1[600:] = False
+        i1, d1, i2, d2 = knn_top2_pallas(
+            F0, F1, jnp.asarray(mask1), True  # interpret mode (CPU tests)
+        )
+        ref = knn_mod.find_nn(F0, F1, mask1=jnp.asarray(mask1), return_2nd=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ref.idx))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ref.idx2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(ref.dist), atol=1e-4)
+        assert np.asarray(i1).max() < 600  # padding never matched
+
+    def test_backend_switch(self, rng):
+        F0 = jnp.asarray(rng.normal(size=(128, 8)).astype(np.float32))
+        F1 = jnp.asarray(rng.normal(size=(256, 8)).astype(np.float32))
+        import jax
+        if jax.default_backend() == "cpu":
+            return  # compiled pallas path is TPU-only; interpret covered above
+        a = knn_mod.find_nn(F0, F1, return_2nd=True, backend="pallas")
+        b = knn_mod.find_nn(F0, F1, return_2nd=True)
+        np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))

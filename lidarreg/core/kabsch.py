@@ -90,7 +90,7 @@ def eigh4_leading(N: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
 
 
-_NEWTON_ITERS = 24
+_NEWTON_ITERS = 16
 
 
 def qcp_quaternion_comps(Sxx, Sxy, Sxz, Syx, Syy, Syz, Szx, Szy, Szz):

@@ -87,3 +87,35 @@ class TestRefinementAnalysis:
         assert "BBR-F        | recall: 100.00" in rep
         assert "Symmetric ICP| recall: 0.00" in rep
         assert "(median)" in rep and "(95%)" in rep
+
+
+class TestMiscUtils:
+    def test_chamfer_and_bb(self, rng):
+        from lidarreg.utils.misc import best_buddy_loss, chamfer_distance
+
+        A = jnp.asarray(rng.uniform(-5, 5, (200, 3)).astype(np.float32))
+        c_same = float(chamfer_distance(A, A))
+        assert c_same < 1e-3
+        B = A + 0.5
+        assert float(chamfer_distance(A, B)) > c_same
+        bb_same = float(best_buddy_loss(A, A))
+        assert bb_same < 1e-3
+
+    def test_set_seed(self):
+        from lidarreg.utils.misc import set_seed
+
+        k = set_seed(51)
+        a = np.random.rand(3)
+        set_seed(51)
+        b = np.random.rand(3)
+        np.testing.assert_array_equal(a, b)
+        assert k.shape == (2,)
+
+    def test_rot_to_euler(self, rng):
+        from lidarreg.data.augment import euler_deg_to_rotation
+        from lidarreg.utils.misc import rot_to_euler
+
+        ang = rng.uniform(-40, 40, 3)
+        np.testing.assert_allclose(
+            rot_to_euler(euler_deg_to_rotation(ang)), ang, atol=1e-8
+        )

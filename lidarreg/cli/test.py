@@ -156,17 +156,81 @@ def main(argv=None):
 
         ds = _DS()
 
-    fr = make_fr_register(
-        FRConfig(
-            mode=args.mode,
-            iters=args.iters,
-            voxel_size=args.voxel_size,
-            prosac=args.prosac,
-            use_elc=args.fast_rejection == "ELC",
-            grid_wid=args.GPF_grid_wid,
-            gpf_factor=args.GPF_factor,
+    if args.algo == "RANSAC":
+        fr = make_fr_register(
+            FRConfig(
+                mode=args.mode,
+                iters=args.iters,
+                voxel_size=args.voxel_size,
+                prosac=args.prosac,
+                use_elc=args.fast_rejection == "ELC",
+                grid_wid=args.GPF_grid_wid,
+                gpf_factor=args.GPF_factor,
+            )
         )
-    )
+    elif args.algo == "TEASER":
+        # TEASER protocol (Experiments/test.py + algorithms/
+        # TEASER_plus_plus.py:78-126): GPF BB_first cap feeds the solver.
+        from ..bench.registration import FRResult
+        from ..match import match_pair
+        from ..solvers.teaser import TeaserConfig, teaser_register
+        from ..core.se3 import transform as se3_transform
+
+        tcfg = TeaserConfig(noise_bound=args.voxel_size)
+
+        @jax.jit
+        def fr(F0, F1, xyz0, xyz1, m0, m1, key):
+            c = match_pair(
+                F0, F1, xyz0, mask0=m0, mask1=m1, mode="GPF",
+                bb_first=True, max_matches=tcfg.max_corr,
+                grid_wid=args.GPF_grid_wid, gpf_factor=args.GPF_factor,
+            )
+            tgt = xyz1[c.idx1]
+            res = teaser_register(xyz0, tgt, c.keep, tcfg)
+            warped = se3_transform(xyz0, res.transform)
+            d = jnp.linalg.norm(warped - tgt, axis=-1)
+            inl = (d < 2 * args.voxel_size) & c.valid
+            return FRResult(res.transform, c.idx1, c.valid, c.keep, inl,
+                            jnp.sum(c.keep.astype(jnp.int32)))
+
+    else:  # PointDSC (Experiments/test.py:377-397 inference path)
+        from ..bench.registration import FRResult
+        from ..data.pipeline import build_pointdsc_input
+        from ..models import PointDSC
+        from ..core.se3 import transform as se3_transform
+
+        pmodel = PointDSC(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2)
+        num_node = min(args.num_node, cap)
+        dummy = {
+            "corr_pos": jnp.zeros((1, num_node, 6)),
+            "src_keypts": jnp.zeros((1, num_node, 3)),
+            "tgt_keypts": jnp.zeros((1, num_node, 3)),
+        }
+        if args.fcgf_weights_file and args.algo == "PointDSC_snapshot":
+            from ..utils.checkpoint import load_variables
+            pvars = load_variables(args.fcgf_weights_file)
+        else:
+            pvars = pmodel.init(jax.random.PRNGKey(1), dummy, testing=False,
+                                train=False)
+
+        @jax.jit
+        def fr(F0, F1, xyz0, xyz1, m0, m1, key):
+            data = build_pointdsc_input(
+                key, xyz0, F0, m0, xyz1, F1, m1, num_node,
+                2 * args.voxel_size,
+            )
+            out = pmodel.apply(pvars, data, testing=True, train=False)
+            T = out["final_trans"][0]
+            # report stats over the NN correspondence set like FR
+            from ..ops.knn import find_nn
+
+            nn = find_nn(F0, F1, mask1=m1)
+            warped = se3_transform(xyz0, T)
+            d = jnp.linalg.norm(warped - xyz1[nn.idx], axis=-1)
+            inl = (d < 2 * args.voxel_size) & m0
+            return FRResult(T, nn.idx, m0, m0,
+                            inl, jnp.sum(m0.astype(jnp.int32)))
+
     cfg = EvalConfig(algo=args.algo, voxel_size=args.voxel_size,
                      max_samples=args.max_samples)
     repeat_recalls, repeat_times = [], []

@@ -231,3 +231,37 @@ class ResUNetBN2C(nn.Module):
             out = out / (norm + 1e-8)
             out = out * v1[:, None]
         return SparseTensor(c1, out, v1, s)
+
+
+def ResUNetBN2(**kw):
+    """Zoo alias (fcgf.py:854-856): TR_CHANNELS [_, 32, 64, 64, 128]."""
+    kw.setdefault("tr_channels", (0, 32, 64, 64, 128))
+    return ResUNetBN2C(**kw)
+
+
+def ResUNetBN2B(**kw):
+    """Zoo alias (fcgf.py:858-861): TR_CHANNELS [_, 64, 64, 64, 64]."""
+    kw.setdefault("tr_channels", (0, 64, 64, 64, 64))
+    return ResUNetBN2C(**kw)
+
+
+def ResUNetBN2D(**kw):
+    """Zoo alias: wider decoder (TR [_, 64, 64, 128, 128])."""
+    kw.setdefault("tr_channels", (0, 64, 64, 128, 128))
+    return ResUNetBN2C(**kw)
+
+
+# name registry (DGR/model/__init__.py:12-38 load_model equivalent)
+MODEL_REGISTRY = {
+    "ResUNetBN2": ResUNetBN2,
+    "ResUNetBN2B": ResUNetBN2B,
+    "ResUNetBN2C": ResUNetBN2C,
+    "ResUNetBN2D": ResUNetBN2D,
+}
+
+
+def load_model(name: str):
+    """Model-name lookup (DGR/model/__init__.py:12-38)."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name}; have {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name]

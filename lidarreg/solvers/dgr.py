@@ -174,3 +174,22 @@ def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig
         return DGRResult(T, weights, idx1, use_sg)
 
     return register
+
+
+def calibrate_clip_weight_thresh(
+    weight_batches, thresh_fraction: float = 0.3
+) -> float:
+    """Adaptive clip-weight threshold (DGR/scripts/test_kitti.py:174-211).
+
+    The DGR failsafe discards low-weight correspondences against a constant
+    threshold; on some sets that rejects nearly everything. The reference
+    instead calibrates the threshold so ~`thresh_fraction` of weights from
+    ~20 validation pairs fall below it; `weight_batches` is that list of
+    per-pair weight arrays (run the register with an over-high
+    clip_weight_thresh of 1.0 to collect raw sigmoid weights).
+    """
+    import numpy as _np
+
+    w = _np.sort(_np.concatenate([_np.asarray(x).ravel() for x in weight_batches]))
+    idx = int(round(len(w) * thresh_fraction))
+    return float(w[min(idx, len(w) - 1)])

@@ -119,3 +119,76 @@ class TestMiscUtils:
         np.testing.assert_allclose(
             rot_to_euler(euler_deg_to_rotation(ang)), ang, atol=1e-8
         )
+
+
+class TestFPFH:
+    def test_descriptor_properties(self, rng):
+        import jax.numpy as jnp
+        from lidarreg.ops.fpfh import fpfh
+
+        # plane vs volumetric blob: FPFH is rotation-invariant (a plane and
+        # a wall look IDENTICAL to it), but planar vs volumetric local
+        # geometry must separate
+        n = 400
+        plane = np.c_[rng.uniform(-5, 5, (n, 2)), rng.normal(0, 0.01, (n, 1))]
+        blob = rng.uniform(-3, 3, (n, 3))
+        pts = jnp.asarray(np.vstack([plane, blob]).astype(np.float32))
+        v = jnp.ones(2 * n, bool)
+        f = np.asarray(fpfh(pts, v, radius=1.0))
+        assert f.shape == (2 * n, 33)
+        assert np.isfinite(f).all()
+        # each 11-bin block sums to ~100 (or 0 for isolated points)
+        s = f[:, :11].sum(1)
+        assert ((np.abs(s - 100) < 1) | (s < 1)).all()
+        centroid_p = f[:n].mean(0)
+        centroid_b = f[n:].mean(0)
+        assert np.linalg.norm(centroid_p - centroid_b) > 10.0
+
+    def test_rotation_invariance(self, rng):
+        import jax.numpy as jnp
+        from lidarreg.ops.fpfh import fpfh
+        from lidarreg.core.se3 import euler_to_rotation
+
+        # mixed geometry (plane region + line + blob) so descriptors VARY
+        # between points — a uniform cloud is locally identical everywhere
+        # and any error would swamp the (flat) between-point baseline
+        plane = np.c_[rng.uniform(-4, 4, (250, 2)), np.zeros((250, 1))]
+        line = np.c_[rng.uniform(-4, 4, (100, 1)), np.zeros((100, 2))] + [0, 6, 0]
+        blob = rng.uniform(-1.5, 1.5, (150, 3)) + [6, 0, 0]
+        pts = np.vstack([plane, line, blob]).astype(np.float32)
+        R = np.asarray(euler_to_rotation(jnp.asarray([0.3, -0.2, 1.0])))
+        n = len(pts)
+        f0 = np.asarray(fpfh(jnp.asarray(pts), jnp.ones(n, bool), 1.0))
+        f1 = np.asarray(fpfh(jnp.asarray((pts @ R.T).astype(np.float32)),
+                             jnp.ones(n, bool), 1.0))
+        # descriptor is built in local Darboux frames -> approximately
+        # rotation invariant (the 27-cell grid stencil rotates with the
+        # grid, so neighbor SETS change on sparse clouds); require the
+        # rotated-self error to be clearly below the unrelated-point
+        # baseline
+        err = np.abs(f0 - f1).mean(1)
+        perm = rng.permutation(len(f0))
+        baseline = np.abs(f0 - f0[perm]).mean(1)
+        assert np.median(err) < 0.8 * np.median(baseline)
+
+
+class TestDGRCalibration:
+    def test_threshold_fraction(self, rng):
+        from lidarreg.solvers.dgr import calibrate_clip_weight_thresh
+
+        batches = [rng.uniform(size=500) for _ in range(4)]
+        t = calibrate_clip_weight_thresh(batches, 0.3)
+        w = np.concatenate(batches)
+        frac = (w < t).mean()
+        assert abs(frac - 0.3) < 0.02
+
+
+class TestModelZoo:
+    def test_registry(self):
+        from lidarreg.models.fcgf import load_model, MODEL_REGISTRY
+
+        assert set(MODEL_REGISTRY) == {
+            "ResUNetBN2", "ResUNetBN2B", "ResUNetBN2C", "ResUNetBN2D"
+        }
+        m = load_model("ResUNetBN2B")(out_channels=16)
+        assert m.tr_channels == (0, 64, 64, 64, 64)

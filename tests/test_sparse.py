@@ -191,3 +191,20 @@ class TestSparseConv:
 
 def feats_join(c, f, v):  # helper kept for clarity in stride-2 test
     return f
+
+
+class TestCuckooAtScale:
+    def test_no_unplaced_keys_at_fcgf_load(self, rng):
+        # regression guard: parallel cuckoo insertion must place EVERY key
+        # at the load factors the FCGF levels use (<= 12.5%); the affine-rank
+        # stall bug left ~0.1% unplaced (silently zeroed features)
+        for n, T in ((32768, 131072), (120000, 524288)):
+            coords = np.unique(
+                rng.integers(-2000, 2000, size=(n, 3)).astype(np.int32), axis=0
+            )
+            table, placed = build_table(
+                jnp.asarray(coords), jnp.ones(len(coords), bool), T
+            )
+            assert bool(placed.all()), f"unplaced keys at n={len(coords)}"
+            got = np.asarray(lookup(table, jnp.asarray(coords)))
+            np.testing.assert_array_equal(got, np.arange(len(coords)))

@@ -377,3 +377,55 @@ def ransac_register(
         inlier_mask=inl_fin,
         num_kept=n_keep,
     )
+
+
+def make_sharded_ransac(mesh, cfg: RansacConfig = RansacConfig()):
+    """Shard the HYPOTHESIS axis over the device mesh.
+
+    The reference has no analogue (its only parallelism is per-pair data
+    parallelism, SURVEY.md §2c); on TPU the natural second axis is the
+    hypothesis space itself (SURVEY.md §5: "tile the 1M-hypothesis RANSAC
+    scoring across the mesh"). Each device draws and scores an independent
+    `num_hypotheses / n_devices` slice (decorrelated by folding the device
+    index into the PRNG key), refits locally, and the best refit wins by
+    inlier count via an `all_gather` of (count, T) — 17 floats per device
+    over ICI.
+
+    Returns a jitted fn(src, tgt, keep, key) -> RansacResult with inputs
+    replicated; compose with data-parallel pair sharding for 2-D meshes.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.devices.size
+    per_dev = cfg._replace(
+        num_hypotheses=max(cfg.chunk_size,
+                           cfg.num_hypotheses // n_dev),
+        top_k=max(16, cfg.top_k // n_dev),
+    )
+    axis = mesh.axis_names[0]
+
+    def local(src, tgt, keep, key):
+        me = lax.axis_index(axis)
+        res = ransac_register(
+            src, tgt, keep, jax.random.fold_in(key, me), per_dev
+        )
+        counts = lax.all_gather(res.inlier_count, axis)      # [n_dev]
+        trans = lax.all_gather(res.transform, axis)          # [n_dev, 4, 4]
+        masks = lax.all_gather(res.inlier_mask, axis)
+        best = jnp.argmax(counts)
+        return RansacResult(
+            transform=trans[best],
+            inlier_count=counts[best],
+            inlier_mask=masks[best],
+            num_kept=res.num_kept,
+        )
+
+    return jax.jit(
+        shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
+    )

@@ -109,3 +109,27 @@ class TestRansac:
         assert bool(ok)
         # refit over the full set should find most true inliers
         assert int(res.inlier_mask.sum()) > 0.8 * is_inl.sum()
+
+
+class TestShardedRansac:
+    def test_hypothesis_axis_sharding(self, rng):
+        from lidarreg.parallel.mesh import get_mesh
+        from lidarreg.solvers.ransac import make_sharded_ransac
+
+        assert jax.device_count() == 8
+        src, tgt, T_gt, _ = make_problem(rng, n=1024, inlier_frac=0.3)
+        mesh = get_mesh()
+        cfg = CFG_FAST._replace(num_hypotheses=16384, chunk_size=2048)
+        f = make_sharded_ransac(mesh, cfg)
+        res = f(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(1024, bool),
+                jax.random.PRNGKey(0))
+        from lidarreg.core import registration_success
+
+        ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
+        assert bool(ok), f"RE={float(re)} TE={float(te)}"
+        # determinism across calls
+        res2 = f(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(1024, bool),
+                 jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(
+            np.asarray(res.transform), np.asarray(res2.transform)
+        )

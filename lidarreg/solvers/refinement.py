@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from ..core.se3 import euler_to_rotation, integrate, inverse
-from .icp import build_grid, grid_nn
+from ..core.se3 import euler_to_rotation, integrate
+from .icp import build_grid
 from ..sparse.hashtable import lookup
 from ..sparse.tensor import kernel_offsets
 

@@ -32,7 +32,7 @@ def main(argv=None):
 
     from lidarreg.bench import FRConfig, make_fr_register
     from lidarreg.core.se3 import euler_to_rotation
-    from lidarreg.data.pipeline import prepare_sparse_input
+    from lidarreg.data.pipeline import pad_cloud, prepare_sparse_input
     from lidarreg.models.fcgf import ResUNetBN2C
     from lidarreg.solvers.icp import icp_point_to_point
 
@@ -58,10 +58,9 @@ def main(argv=None):
     pt_cap = cap * 4
 
     def prep(c):
-        pad = np.full((pt_cap, 3), 1e7, np.float32)
-        m = min(len(c), pt_cap)
-        pad[:m] = c[:m]
-        return prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap)
+        pad, m = pad_cloud(c, pt_cap)
+        return prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap,
+                                    jnp.int32(m))
 
     st0, xyz0 = prep(cloud_a)
     st1, xyz1 = prep(cloud_b)

@@ -72,7 +72,11 @@ def evaluate_pairs(
 ) -> np.ndarray:
     """Run the FR-style benchmark over `dataset`, sharded by (rank, world).
 
-    features_for(cloud) -> (xyz [V,3], feats [V,C], valid [V]) on device.
+    features_for(cloud, T_align) -> (xyz [V,3], feats [V,C], valid [V]) on
+    device. T_align is the 4x4 host array mapping this cloud into the pair's
+    target frame (GT motion for the source cloud, identity for the target);
+    real feature extractors ignore it, the surrogate-feature path uses it
+    explicitly (no hidden call-order state).
     register(F0, F1, xyz0, xyz1, m0, m1, key) -> FRResult.
     """
     n_total = len(dataset)
@@ -80,13 +84,14 @@ def evaluate_pairs(
         n_total = min(n_total, cfg.max_samples)
     my_ids = list(range(rank, n_total, world_size))
     stats = np.zeros((len(my_ids), 22))
+    eye4 = np.eye(4, dtype=np.float64)
 
     if warmup and my_ids:
         # Prime all jit caches so XLA compile time never lands in the
         # per-pair timing columns (first compile is tens of seconds).
-        _, ca, cb = dataset.get_pair(my_ids[0])
-        x0, f0, v0 = features_for(ca)
-        x1, f1, v1 = features_for(cb)
+        T_w, ca, cb = dataset.get_pair(my_ids[0])
+        x0, f0, v0 = features_for(ca, T_w)
+        x1, f1, v1 = features_for(cb, eye4)
         r = register(f0, f1, x0, x1, v0, v1, key)
         jax.block_until_ready(
             icp_point_to_point(x0, v0, x1, v1, r.transform,
@@ -96,8 +101,8 @@ def evaluate_pairs(
     for row, i in enumerate(my_ids):
         t0 = time.perf_counter()
         T_gt_np, cloud_a, cloud_b = dataset.get_pair(i)
-        xyz0, F0, m0 = features_for(cloud_a)
-        xyz1, F1, m1 = features_for(cloud_b)
+        xyz0, F0, m0 = features_for(cloud_a, T_gt_np)
+        xyz1, F1, m1 = features_for(cloud_b, eye4)
         jax.block_until_ready(F1)
         data_time = time.perf_counter() - t0
         T_gt = jnp.asarray(T_gt_np.astype(np.float32))

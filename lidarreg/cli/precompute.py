@@ -39,7 +39,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..data import make_dataset
-    from ..data.pipeline import prepare_sparse_input
+    from ..data.pipeline import pad_cloud, prepare_sparse_input
     from ..data.precomputed import export_pair_npz
 
     ds = make_dataset(args.dataset, phase=args.phase, synthetic=args.synthetic)
@@ -81,10 +81,9 @@ def main(argv=None):
         T, ca, cb = ds.get_pair(i)
 
         def prep(c):
-            pad = np.full((pt_cap, 3), 1e7, np.float32)
-            m = min(len(c), pt_cap)
-            pad[:m] = c[:m]
-            return prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap)
+            pad, m = pad_cloud(c, pt_cap)
+            return prepare_sparse_input(jnp.asarray(pad), args.voxel_size,
+                                        cap, jnp.int32(m))
 
         st0, x0 = prep(ca)
         st1, x1 = prep(cb)

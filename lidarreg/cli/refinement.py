@@ -77,7 +77,7 @@ def main(argv=None):
 
     from ..core.metrics import registration_errors
     from ..data import make_dataset, balanced_set_path, default_balanced_root
-    from ..data.pipeline import prepare_sparse_input
+    from ..data.pipeline import pad_cloud, prepare_sparse_input
     from ..solvers.icp import icp_point_to_point
     from ..solvers.refinement import bbr_f, symmetric_icp
     from ..core.se3 import concatenate
@@ -98,10 +98,9 @@ def main(argv=None):
     pt_cap = cap * 4
 
     def prep(c):
-        pad = np.full((pt_cap, 3), 1e7, np.float32)
-        m = min(len(c), pt_cap)
-        pad[:m] = c[:m]
-        st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap)
+        pad, m = pad_cloud(c, pt_cap)
+        st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size,
+                                       cap, jnp.int32(m))
         return xyz, st.valid
 
     n = len(ds)

@@ -38,7 +38,13 @@ def get_args(argv=None):
     p.add_argument("--dataset", type=str, required=True,
                    help="K/A/B/S/L or full name")
     p.add_argument("--algo", type=str, default="RANSAC",
-                   choices=["RANSAC", "PointDSC", "TEASER"])
+                   choices=["RANSAC", "GC_RANSAC", "PointDSC", "TEASER",
+                            "DGR"])
+    p.add_argument("--codebase", type=str, default="batched",
+                   choices=["batched", "open3d", "GC"],
+                   help="RANSAC preset (FR.py:61-98 codebase switch): "
+                        "'open3d' = uniform sampling + single refit, "
+                        "'GC'/'batched' = PROSAC + ELC + iterated-LS LO")
     p.add_argument("--mode", type=str, default="GPF",
                    choices=["GPF", "MNN", "no_filter"])
     p.add_argument("--iters", type=int, default=50_000)
@@ -54,6 +60,14 @@ def get_args(argv=None):
     p.add_argument("--features", type=str, default="fcgf",
                    choices=["fcgf", "surrogate"])
     p.add_argument("--fcgf_weights_file", type=str, default=None)
+    p.add_argument("--pointdsc_weights_file", type=str, default=None,
+                   help="trained PointDSC checkpoint (msgpack) for "
+                        "--algo PointDSC (test.py:377-397 snapshot load)")
+    p.add_argument("--dgr_weights_file", type=str, default=None,
+                   help="trained 6-D inlier-net checkpoint for --algo DGR")
+    p.add_argument("--clip_weight_thresh", type=float, default=0.05,
+                   help="DGR inlier-weight clip (DGR/config.py:76; "
+                        "calibrate with solvers.dgr.calibrate_clip_weight_thresh)")
     p.add_argument("--voxel_size", type=float, default=0.3)
     p.add_argument("--capacity", type=int, default=32768)
     p.add_argument("--num_node", type=int, default=12000)
@@ -66,6 +80,8 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=51)  # benchmark_utils.py:27-38
     p.add_argument("--num_repeats", type=int, default=1,
                    help="repeat eval for mean/std (FCGF_FAST/test.py:39-82)")
+    p.add_argument("--tiny", type=str2bool, default=False,
+                   help="tiny network configs (CI smoke tests)")
     p.add_argument("--export_coarse", type=str2bool, default=False,
                    help="write coarse_motions.txt for the refinement test")
     return p.parse_args(argv)
@@ -82,7 +98,7 @@ def main(argv=None):
         make_fr_register, merge_shards, save_shard, write_log,
     )
     from ..data import make_dataset
-    from ..data.pipeline import prepare_sparse_input
+    from ..data.pipeline import pad_cloud, prepare_sparse_input
 
     outdir = args.outdir or os.path.join(
         "outputs", f"{args.dataset}.{args.algo}.{time.strftime('%y%m%d_%H%M%S')}"
@@ -117,55 +133,49 @@ def main(argv=None):
             variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
         fcgf_apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
-        def features_for(cloud):
-            pad = np.full((pt_cap, 3), 1e7, np.float32)
-            m = min(len(cloud), pt_cap)
-            pad[:m] = cloud[:m]
-            st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap)
+        def features_for(cloud, T_align):
+            pad, m = pad_cloud(cloud, pt_cap)
+            st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size,
+                                           cap, jnp.int32(m))
             out = fcgf_apply(variables, st)
             return xyz, out.feats, out.valid
     else:
-        # surrogate: noisy GT-aligned positions (solver-benchmark mode)
-        state = {"T": np.eye(4), "flip": 0}
-
-        def features_for(cloud):
-            pad = np.full((pt_cap, 3), 1e7, np.float32)
-            m = min(len(cloud), pt_cap)
-            pad[:m] = cloud[:m]
-            st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size, cap)
-            T = state["T"] if state["flip"] % 2 == 0 else np.eye(4)
-            state["flip"] += 1
-            p = xyz @ jnp.asarray(T[:3, :3].T.astype(np.float32)) + jnp.asarray(
-                T[:3, 3].astype(np.float32)
-            )
-            f = p + jax.random.normal(jax.random.PRNGKey(0), p.shape) * 0.1
+        # surrogate: noisy GT-aligned positions (solver-benchmark mode).
+        # T_align comes explicitly from the harness per cloud (GT motion for
+        # the source cloud, identity for the target) — no call-order state.
+        def features_for(cloud, T_align):
+            pad, m = pad_cloud(cloud, pt_cap)
+            st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size,
+                                           cap, jnp.int32(m))
+            is_src = int(not np.allclose(T_align, np.eye(4)))
+            p = xyz @ jnp.asarray(
+                T_align[:3, :3].T.astype(np.float32)
+            ) + jnp.asarray(T_align[:3, 3].astype(np.float32))
+            noise_key = jax.random.fold_in(jax.random.PRNGKey(0), is_src)
+            f = p + jax.random.normal(noise_key, p.shape) * 0.1
             return xyz, f, st.valid
 
-        inner_ds = ds
-
-        class _DS:
-            pairs = inner_ds.pairs
-
-            def __len__(self):
-                return len(inner_ds)
-
-            def get_pair(self, i):
-                out = inner_ds.get_pair(i)
-                state["T"] = out[0]
-                return out
-
-        ds = _DS()
-
-    if args.algo == "RANSAC":
+    if args.algo in ("RANSAC", "GC_RANSAC"):
+        # --codebase mirrors FR.py:61-98's GC vs Open3D switch; GC_RANSAC as
+        # an algo name (Experiments/algorithms/GC_RANSAC.py:8-55) forces the
+        # GC preset (PROSAC + ELC + iterated-LS LO).
+        codebase = "GC" if args.algo == "GC_RANSAC" else args.codebase
+        if codebase == "open3d":
+            # Open3D RANSAC_registration semantics (FR.py:122-139): uniform
+            # sampling, EdgeLength checker, one LS refit on final inliers.
+            prosac, refit_iters = False, 1
+        else:
+            prosac, refit_iters = args.prosac, 3
         fr = make_fr_register(
             FRConfig(
                 mode=args.mode,
                 iters=args.iters,
                 voxel_size=args.voxel_size,
-                prosac=args.prosac,
+                prosac=prosac,
                 use_elc=args.fast_rejection == "ELC",
                 grid_wid=args.GPF_grid_wid,
                 gpf_factor=args.GPF_factor,
+                refit_iters=refit_iters,
             )
         )
     elif args.algo == "TEASER":
@@ -193,6 +203,53 @@ def main(argv=None):
             return FRResult(res.transform, c.idx1, c.valid, c.keep, inl,
                             jnp.sum(c.keep.astype(jnp.int32)))
 
+    elif args.algo == "DGR":
+        # DGR benchmark path (DGR/scripts/test_kitti.py:98-172): 6-D
+        # inlier net -> weighted Procrustes + SE(3) refine, RANSAC safeguard.
+        from ..solvers.dgr import DGRConfig, make_dgr_register
+        from ..models.fcgf import ResUNetBN2C
+        from ..ops.voxelize import quantize_coords
+        from ..sparse.tensor import SparseTensor
+        from ..bench.registration import FRResult
+        from ..core.se3 import transform as se3_transform
+
+        if args.tiny:
+            inlier_model = ResUNetBN2C(
+                dim=6, out_channels=1, normalize_feature=False,
+                channels=(0, 8, 16, 16, 32), tr_channels=(0, 8, 8, 8, 16),
+                conv1_kernel_size=3,
+            )
+        else:
+            inlier_model = ResUNetBN2C(dim=6, out_channels=1,
+                                       normalize_feature=False)
+        dummy6 = SparseTensor(
+            jnp.zeros((cap, 6), jnp.int32), jnp.ones((cap, 1)),
+            jnp.ones((cap,), bool), 1,
+        )
+        if args.dgr_weights_file:
+            from ..utils.checkpoint import load_variables
+            ivars = load_variables(args.dgr_weights_file)
+        else:
+            ivars = inlier_model.init(jax.random.PRNGKey(2), dummy6,
+                                      train=False)
+        dgr = make_dgr_register(
+            inlier_model, ivars,
+            DGRConfig(voxel_size=args.voxel_size,
+                      clip_weight_thresh=args.clip_weight_thresh),
+        )
+
+        @jax.jit
+        def fr(F0, F1, xyz0, xyz1, m0, m1, key):
+            # voxel coords are recoverable from the kept original points
+            c0 = quantize_coords(xyz0, args.voxel_size) * m0[:, None]
+            c1 = quantize_coords(xyz1, args.voxel_size) * m1[:, None]
+            res = dgr(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key)
+            warped = se3_transform(xyz0, res.transform)
+            d = jnp.linalg.norm(warped - xyz1[res.idx1], axis=-1)
+            inl = (d < 2 * args.voxel_size) & m0
+            return FRResult(res.transform, res.idx1, m0, m0, inl,
+                            jnp.sum(m0.astype(jnp.int32)))
+
     else:  # PointDSC (Experiments/test.py:377-397 inference path)
         from ..bench.registration import FRResult
         from ..data.pipeline import build_pointdsc_input
@@ -206,9 +263,9 @@ def main(argv=None):
             "src_keypts": jnp.zeros((1, num_node, 3)),
             "tgt_keypts": jnp.zeros((1, num_node, 3)),
         }
-        if args.fcgf_weights_file and args.algo == "PointDSC_snapshot":
+        if args.pointdsc_weights_file:
             from ..utils.checkpoint import load_variables
-            pvars = load_variables(args.fcgf_weights_file)
+            pvars = load_variables(args.pointdsc_weights_file)
         else:
             pvars = pmodel.init(jax.random.PRNGKey(1), dummy, testing=False,
                                 train=False)

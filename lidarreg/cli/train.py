@@ -55,7 +55,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..data import make_dataset
-    from ..data.pipeline import prepare_sparse_input
+    from ..data.pipeline import pad_cloud, prepare_sparse_input
     from ..parallel.mesh import get_mesh
     from ..utils.checkpoint import save_variables
     from ..utils.logging import MetricsLogger, Tee, generate_output_dir
@@ -75,14 +75,10 @@ def main(argv=None):
     cap = args.capacity
     pt_cap = cap * 4
 
-    def pad_cloud(c):
-        out = np.full((pt_cap, 3), 1e7, np.float32)
-        m = min(len(c), pt_cap)
-        out[:m] = c[:m]
-        return jnp.asarray(out)
-
     def voxelized(c):
-        st, xyz = prepare_sparse_input(pad_cloud(c), args.voxel_size, cap)
+        pad, m = pad_cloud(c, pt_cap)
+        st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size,
+                                       cap, jnp.int32(m))
         return st, xyz
 
     # ------------------------------------------------------------------ #
@@ -267,6 +263,19 @@ def main(argv=None):
         params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
 
     # ------------------------------------------------------------------ #
+    if args.resume:
+        # warm-start params/batch_stats from a saved snapshot (optimizer
+        # state restarts fresh; the reference's FCGF resume also re-derives
+        # scheduler position — FCGF_FAST/train.py:30-49).
+        from ..utils.checkpoint import load_variables
+
+        loaded = load_variables(args.resume)
+        state = state._replace(
+            params=loaded["params"],
+            batch_stats=loaded.get("batch_stats", state.batch_stats),
+        )
+        tee(f"resumed model weights from {args.resume}")
+
     key = jax.random.PRNGKey(args.seed)
     best = -np.inf
     gstep = 0

@@ -109,6 +109,14 @@ def qcp_quaternion_comps(Sxx, Sxy, Sxz, Syx, Syy, Syz, Szx, Szy, Szz):
     dims (TPU tiles pad minor dims to 128 lanes — a ~40x HBM blowup at
     1M-hypothesis scale). This is the RANSAC hot path; the Jacobi solver
     above is the high-accuracy fallback.
+
+    Known degeneracy: on near-rank-deficient covariances (near-collinear
+    point sets, ~1% of random collinear 5-point configs) the Newton +
+    adjugate construction can return a NON-OPTIMAL eigenvector (f32
+    objective gap up to ~0.14 where Jacobi/SVD find the exact fit). Inside
+    RANSAC this is benign — such hypotheses score few inliers and lose —
+    but single-solution callers must use `rotation_from_covariance`
+    (Rayleigh-guarded) or method="jacobi" instead of calling this raw.
     """
     Sxx2, Syy2, Szz2 = Sxx * Sxx, Syy * Syy, Szz * Szz
     Sxy2, Syx2 = Sxy * Sxy, Syx * Syx
@@ -240,7 +248,14 @@ def rotation_from_covariance(H: jnp.ndarray, method: str = "qcp") -> jnp.ndarray
 
     H[i, j] = sum_k w_k * a_k[i] * b_k[j] with a = centered source points and
     b = centered target points. SVD-free:
-      method="qcp"    — QCP Newton + adjugate (hot path, pure elementwise);
+      method="qcp"    — QCP Newton + adjugate, GUARDED: on ~1% of
+                        near-rank-deficient H (near-collinear point sets)
+                        the QCP eigenvector is non-optimal, so each lane is
+                        double-checked against the Jacobi solution by
+                        Rayleigh quotient and the better one wins. Batched
+                        1M-hypothesis RANSAC does NOT come through here (it
+                        uses the raw SoA `qcp_quaternion_comps`, where bad
+                        hypotheses simply score out);
       method="jacobi" — fixed-sweep Jacobi on Horn's 4x4 (high accuracy).
     """
     dtype = H.dtype
@@ -257,6 +272,15 @@ def rotation_from_covariance(H: jnp.ndarray, method: str = "qcp") -> jnp.ndarray
             Hn[..., 2, 0], Hn[..., 2, 1], Hn[..., 2, 2],
         )
         q = jnp.stack(qc, axis=-1)
+        N = _horn_profile_matrix(Hn)
+        q_j = eigh4_leading(N)
+
+        def rayleigh(v):
+            return jnp.einsum("...i,...ij,...j->...", v, N, v,
+                              precision="highest")
+
+        better = rayleigh(q) >= rayleigh(q_j)
+        q = jnp.where(better[..., None], q, q_j)
     elif method == "jacobi":
         q = eigh4_leading(_horn_profile_matrix(Hn))
     else:

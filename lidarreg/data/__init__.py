@@ -10,6 +10,7 @@ from .balanced import (  # noqa: F401
 from .adapters import make_dataset, SyntheticBalancedDataset  # noqa: F401
 from .pipeline import (  # noqa: F401
     FeaturePipeline,
+    pad_cloud,
     prepare_sparse_input,
     build_pointdsc_input,
 )

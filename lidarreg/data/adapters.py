@@ -18,6 +18,7 @@ end-to-end (and on CI/TPU pools) without the multi-hundred-GB raw archives.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Tuple
 
 import numpy as np
@@ -176,7 +177,12 @@ class SyntheticBalancedDataset:
     def get_pair(self, ind: int):
         p = self.pairs
         mot = p.motions[ind]
-        seed = hash((self.name, int(p.session_ind[ind]), int(p.src_ind[ind]))) % 2**31
+        # stable across processes/ranks (hash() of str is randomized per
+        # process via PYTHONHASHSEED and would break run reproducibility)
+        seed = zlib.crc32(
+            f"{self.name}:{int(p.session_ind[ind])}:{int(p.src_ind[ind])}"
+            .encode()
+        ) % 2**31
         world = self._scene(seed)
         rng = np.random.default_rng(seed ^ 0x5EED)
 

@@ -28,15 +28,36 @@ from ..sparse.tensor import SparseTensor
 DEFAULT_VOXEL_SIZE = 0.3  # generic_balanced_loader.py:10
 
 
+def pad_cloud(cloud: np.ndarray, point_capacity: int):
+    """Pad/truncate a host cloud to `point_capacity` rows.
+
+    Returns (padded [point_capacity, 3] float32, n_real int). Callers pass
+    n_real into `prepare_sparse_input` so padding rows are MASKED OUT of
+    voxelization rather than forming a spurious valid sentinel voxel (which
+    would wreck GPF's min/max grid normalization downstream).
+    """
+    n = min(len(cloud), point_capacity)
+    out = np.zeros((point_capacity, 3), np.float32)
+    out[:n] = cloud[:n]
+    return out, n
+
+
 @partial(jax.jit, static_argnums=(1, 2))
-def prepare_sparse_input(cloud: jnp.ndarray, voxel_size: float, capacity: int):
+def prepare_sparse_input(cloud: jnp.ndarray, voxel_size: float, capacity: int,
+                         n_valid: jnp.ndarray | None = None):
     """Voxelize one cloud into a unit-feature SparseTensor + voxel xyz.
 
     Returns (SparseTensor, xyz [capacity, 3]) — xyz are the ORIGINAL point
     coordinates of each kept voxel (first point per voxel), the reference's
     convention (generic_balanced_loader.py:62-75).
+
+    n_valid: number of real (non-padding) rows at the front of `cloud`;
+    when given, padding rows are excluded from voxelization entirely.
     """
-    res = voxelize(cloud, voxel_size, capacity)
+    mask = None
+    if n_valid is not None:
+        mask = jnp.arange(cloud.shape[0], dtype=jnp.int32) < n_valid
+    res = voxelize(cloud, voxel_size, capacity, mask)
     xyz = cloud[res.indices] * res.valid[:, None]
     feats = jnp.ones((capacity, 1), jnp.float32) * res.valid[:, None]
     st = SparseTensor(res.coords, feats, res.valid, 1)
@@ -124,17 +145,11 @@ class FeaturePipeline:
         self.num_node = num_node
         self.inlier_threshold = inlier_threshold
 
-    def _pad_cloud(self, cloud: np.ndarray):
-        n = min(len(cloud), self.point_capacity)
-        out = np.zeros((self.point_capacity, 3), np.float32)
-        out[:n] = cloud[:n]
-        # padding points at a far sentinel so they land in one junk voxel
-        out[n:] = 1e7
-        return jnp.asarray(out)
-
     def features_for(self, cloud: np.ndarray):
+        pad, n = pad_cloud(cloud, self.point_capacity)
         st, xyz = prepare_sparse_input(
-            self._pad_cloud(cloud), self.voxel_size, self.capacity
+            jnp.asarray(pad), self.voxel_size, self.capacity,
+            jnp.int32(n),
         )
         feats = self.fcgf_apply(self.variables, st)
         return xyz, feats.feats, feats.valid

@@ -205,15 +205,22 @@ def _score_chunk(
     k = jax.random.fold_in(key, chunk_id)
 
     # --- sampling schedule -------------------------------------------------
-    # Two 16-bit draws per PRNG word (threefry is ~17% of the whole engine at
-    # one word per draw). 16-bit resolution caps the addressable candidate
-    # pool at 65536 — far above the ~30k voxel correspondences per pair.
-    words = jax.random.bits(k, ((s + 1) // 2, C), jnp.uint32)
-    halves = [
-        ((words >> (16 * h)) & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        for h in range(2)
-    ]
-    u = jnp.concatenate(halves, axis=0)[:s] * jnp.float32(1.0 / 65536.0)
+    # Draw resolution is picked from the STATIC candidate-pool size: pools
+    # <= 65536 use two 16-bit draws per PRNG word (threefry is ~17% of the
+    # whole engine at one word per draw); larger pools pay one word per draw
+    # at 24-bit resolution (exactly representable in f32) so the tail of the
+    # pool stays sampleable.
+    n_pool = pts6.shape[1]
+    if n_pool <= 65536:
+        words = jax.random.bits(k, ((s + 1) // 2, C), jnp.uint32)
+        halves = [
+            ((words >> (16 * h)) & jnp.uint32(0xFFFF)).astype(jnp.float32)
+            for h in range(2)
+        ]
+        u = jnp.concatenate(halves, axis=0)[:s] * jnp.float32(1.0 / 65536.0)
+    else:
+        words = jax.random.bits(k, (s, C), jnp.uint32)
+        u = (words >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
     if cfg.prosac:
         h = chunk_id * C + jnp.arange(C, dtype=jnp.float32)
         m = s + (n_keep.astype(jnp.float32) - s) * h / float(total_hyps)
@@ -395,7 +402,7 @@ def make_sharded_ransac(mesh, cfg: RansacConfig = RansacConfig()):
     replicated; compose with data-parallel pair sharding for 2-D meshes.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.devices.size
     per_dev = cfg._replace(
@@ -426,6 +433,6 @@ def make_sharded_ransac(mesh, cfg: RansacConfig = RansacConfig()):
             local, mesh=mesh,
             in_specs=(P(), P(), P(), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
     )

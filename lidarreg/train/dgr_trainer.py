@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.kabsch import weighted_kabsch
 from ..core.se3 import transform
@@ -176,5 +176,5 @@ def make_train_step(inlier_model, cfg: DGRTrainerConfig, mesh: Mesh | None = Non
         return jax.jit(step)
     return jax.jit(
         shard_map(step, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
-                  out_specs=(P(), P()), check_rep=False)
+                  out_specs=(P(), P()), check_vma=False)
     )

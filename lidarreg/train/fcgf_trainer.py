@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.se3 import transform
 from ..parallel.mesh import DATA_AXIS
@@ -64,10 +64,20 @@ def make_optimizer(cfg: FCGFTrainerConfig):
 
 
 def _rand_rows(key, valid, n):
-    """n random valid row indices (with replacement; candidate sets)."""
-    order = jnp.argsort(jax.random.uniform(key, valid.shape) + (~valid) * 1e3)
+    """n random valid row indices (with replacement; candidate sets).
+
+    Keys for the shuffle and the picks must be independent: with threefry,
+    uniform(key, (n,)) is a prefix of uniform(key, (V,)), so reusing one key
+    couples each pick to the variate that positioned that row in the sort.
+    """
+    k_sort, k_pick = jax.random.split(key)
+    order = jnp.argsort(
+        jax.random.uniform(k_sort, valid.shape) + (~valid) * 1e3
+    )
     count = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
-    pick = jnp.floor(jax.random.uniform(key, (n,)) * count).astype(jnp.int32)
+    pick = jnp.floor(
+        jax.random.uniform(k_pick, (n,)) * count
+    ).astype(jnp.int32)
     return order.astype(jnp.int32)[pick]
 
 
@@ -220,6 +230,6 @@ def make_train_step(model, cfg: FCGFTrainerConfig, mesh: Mesh | None = None):
             step, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS)),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
     )

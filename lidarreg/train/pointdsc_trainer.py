@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.pointdsc import PointDSC
 from ..parallel.mesh import DATA_AXIS
@@ -159,6 +159,6 @@ def make_train_step(model: PointDSC, cfg: PointDSCTrainerConfig, mesh: Mesh | No
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS)),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
     )

@@ -52,6 +52,37 @@ class TestBaselines:
 
 
 @pytest.mark.skipif(not HAVE_SETS, reason="balanced sets not mounted")
+class TestTestCLI:
+    """cli.test smoke: tiny budgets, surrogate features, synthetic pairs."""
+
+    def _run(self, tmp_path, algo, extra=()):
+        from lidarreg.cli.test import main
+
+        return main([
+            "--dataset", "K", "--phase", "validation", "--algo", algo,
+            "--features", "surrogate", "--capacity", "2048",
+            "--iters", "2048", "--max_samples", "2",
+            "--outdir", str(tmp_path / algo), *extra,
+        ])
+
+    def test_ransac(self, tmp_path):
+        report = self._run(tmp_path, "RANSAC")
+        assert "RANSAC     | recall:" in report
+
+    def test_gc_ransac_algo(self, tmp_path):
+        report = self._run(tmp_path, "GC_RANSAC")
+        assert "GC_RANSAC     | recall:" in report
+
+    def test_open3d_codebase(self, tmp_path):
+        report = self._run(tmp_path, "RANSAC", ("--codebase", "open3d"))
+        assert "recall:" in report
+
+    def test_dgr(self, tmp_path):
+        report = self._run(tmp_path, "DGR", ("--tiny", "true"))
+        assert "DGR     | recall:" in report
+
+
+@pytest.mark.skipif(not HAVE_SETS, reason="balanced sets not mounted")
 class TestTrainCLI:
     def test_fcgf_smoke(self, tmp_path):
         from lidarreg.cli.train import main

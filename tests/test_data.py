@@ -103,6 +103,51 @@ class TestPipeline:
             np.any(np.all(np.isclose(cloud, f, atol=1e-6), axis=1)) for f in found[:20]
         )
 
+    def test_padding_is_masked_out(self, rng):
+        # Regression (round-1 advisor): padded rows must not form a valid
+        # sentinel voxel — it would enter GPF's min/max grid normalization
+        # and collapse all real points into one grid cell.
+        cloud = rng.uniform(-10, 10, (3000, 3)).astype(np.float32)
+        st_ref, xyz_ref = prepare_sparse_input(jnp.asarray(cloud), 0.3, 4096)
+        padded = np.zeros((5000, 3), np.float32)
+        padded[:3000] = cloud
+        st_pad, xyz_pad = prepare_sparse_input(
+            jnp.asarray(padded), 0.3, 4096, jnp.int32(3000)
+        )
+        assert int(st_pad.valid.sum()) == int(st_ref.valid.sum())
+        np.testing.assert_array_equal(
+            np.asarray(st_pad.coords), np.asarray(st_ref.coords)
+        )
+        np.testing.assert_allclose(
+            np.asarray(xyz_pad), np.asarray(xyz_ref), atol=0
+        )
+        # padded voxel xyz rows are zeroed, never the padding value
+        v = np.asarray(st_pad.valid)
+        assert np.abs(np.asarray(xyz_pad)[~v]).max() == 0.0
+
+    def test_gpf_binning_unchanged_by_padding(self, rng):
+        # GPF grid cells are computed from min/max of the valid source
+        # coords; a junk voxel at the padding sentinel would collapse the
+        # grid. Compare GPF keep-sets with and without padded input rows.
+        from lidarreg.match import match_pair
+
+        n = 1500
+        src = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+
+        def run(pt_pad):
+            cloud = np.zeros((n + pt_pad, 3), np.float32)
+            cloud[:n] = src
+            st, xyz = prepare_sparse_input(
+                jnp.asarray(cloud), 0.3, 2048, jnp.int32(n)
+            )
+            v = st.valid
+            c = match_pair(xyz, xyz, xyz, mask0=v, mask1=v, mode="GPF")
+            return np.asarray(c.keep & c.valid)
+
+        keep_a = run(0)
+        keep_b = run(4000)
+        np.testing.assert_array_equal(keep_a, keep_b)
+
     def test_build_pointdsc_input(self, rng):
         n = 512
         xyz0 = jnp.asarray(rng.uniform(-30, 30, (n, 3)).astype(np.float32))

@@ -47,35 +47,20 @@ class TestHarnessEndToEnd:
                      stage1_samples=256, top_k=64)
         )
 
-        state = {}
-
-        def features_for(cloud):
-            # pair-consistent surrogate: first cloud of a pair uses the GT
-            # motion captured below via closure state
+        def features_for(cloud, T_align):
+            # T_align now comes explicitly from the harness (GT motion for
+            # the source cloud, identity for the target)
             pad = np.zeros((24576, 3), np.float32)
             m = min(len(cloud), 24576)
             pad[:m] = cloud[:m]
-            pad[m:] = 1e7
-            st, xyz = prepare_sparse_input(jnp.asarray(pad), 0.3, CAP)
-            which = state.setdefault("k", 0)
-            state["k"] = which + 1
-            T = state["T"] if which % 2 == 0 else None
-            F = surrogate_features(xyz, st.valid, T)
+            st, xyz = prepare_sparse_input(jnp.asarray(pad), 0.3, CAP,
+                                           jnp.int32(m))
+            is_tgt = np.allclose(T_align, np.eye(4))
+            F = surrogate_features(xyz, st.valid, None if is_tgt else T_align)
             return xyz, F, st.valid
 
-        class WrappedDS:
-            pairs = ds.pairs
-
-            def __len__(self):
-                return len(ds)
-
-            def get_pair(self, i):
-                T, a, b = ds.get_pair(i)
-                state["T"] = T
-                return T, a, b
-
         return evaluate_pairs(
-            WrappedDS(), features_for, fr, cfg, jax.random.PRNGKey(0),
+            ds, features_for, fr, cfg, jax.random.PRNGKey(0),
             rank=rank, world_size=world,
         )
 

@@ -8,6 +8,17 @@ from .balanced import (  # noqa: F401
     DATASET_NICKNAMES,
 )
 from .adapters import make_dataset, SyntheticBalancedDataset  # noqa: F401
+from .raw import (  # noqa: F401
+    KITTIOdometryFull,
+    ApolloSouthbayFull,
+    NuScenesFull,
+    LyftLEVEL5Full,
+    RawBalancedDataset,
+    make_full_dataset,
+    read_pcd,
+    read_velodyne_bin,
+    read_nuscenes_bin,
+)
 from .pipeline import (  # noqa: F401
     FeaturePipeline,
     pad_cloud,

@@ -91,7 +91,33 @@ class BalancedDataset:
         return mot, a, b
 
 
-class ApolloSouthbay(BalancedDataset):
+class _FullBackedDataset(BalancedDataset):
+    """Balanced set whose raw fallback goes through a full raw adapter
+    (data/raw.py) when the archive is mounted under `self.root`."""
+
+    _full_name: str = ""
+    _full_phase: str = "test"
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._full = None
+
+    def _full_adapter(self):
+        if self._full is None:
+            from .raw import make_full_dataset
+            self._full = make_full_dataset(
+                self._full_name or self.name, self._full_phase, self.root
+            )
+        return self._full
+
+    def _load_raw(self, session_ind: int, frame_ind: int) -> np.ndarray:
+        try:
+            return self._full_adapter().load_PC(session_ind, frame_ind)
+        except (FileNotFoundError, OSError, KeyError, AssertionError):
+            return super()._load_raw(session_ind, frame_ind)
+
+
+class ApolloSouthbay(_FullBackedDataset):
     name = "ApolloSouthbay"
 
 
@@ -107,19 +133,21 @@ class KITTI10m(BalancedDataset):
         )
         if not os.path.exists(path):
             return super()._load_raw(session_ind, frame_ind)
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-        return pts[:, :3]
+        from .raw import read_velodyne_bin
+        return read_velodyne_bin(path)
 
 
-class NuScenesBoston(BalancedDataset):
+class NuScenesBoston(_FullBackedDataset):
     name = "NuScenes_boston"
+    _full_name = "NuScenes_boston"
 
 
-class NuScenesSingapore(BalancedDataset):
+class NuScenesSingapore(_FullBackedDataset):
     name = "NuScenes_singapore"
+    _full_name = "NuScenes_singapore"
 
 
-class LyftLEVEL5(BalancedDataset):
+class LyftLEVEL5(_FullBackedDataset):
     name = "LyftLEVEL5"
 
 

@@ -163,7 +163,7 @@ class BalancedSetGenerator:
         """Binary search with previous-spacing warm start (:321-371)."""
         cfg = self.config
         if previous_spacing is not None:
-            j = min(N - 1, i + previous_spacing)
+            j = min(self._last_index(N), i + previous_spacing)
             if i < j:
                 ov = self.calc_gt_overlap(
                     A, self.ds.load_PC(s, j),
@@ -171,7 +171,7 @@ class BalancedSetGenerator:
                 )
                 if abs(ov / cfg.minimum_overlap - 1) < 0.1:
                     return j
-        high = min(N - 1, i + cfg.max_spacing)
+        high = min(self._last_index(N), i + cfg.max_spacing)
         low = i + 1
         init = previous_spacing if previous_spacing is not None else 50
         j = max(low + 1, min(high - 1, i + init))
@@ -201,6 +201,15 @@ class BalancedSetGenerator:
             [s, i, j], mot.flatten(), motion_to_fields(mot), [frac, sym],
         ])
 
+    def _offset(self) -> int:
+        """Frame indexing base: Apollo frames start at 1
+        (ApolloSouthbay.py:171 indexing_from)."""
+        get = getattr(self.ds, "indexing_from", None)
+        return int(get()) if callable(get) else 0
+
+    def _last_index(self, N: int) -> int:
+        return N + self._offset() - 1
+
     def create_candidate_set(self, s: int) -> np.ndarray:
         """Stride source frames; random target inside the overlap window
         (:405-454)."""
@@ -208,7 +217,8 @@ class BalancedSetGenerator:
         N = self.ds.session_length(s)
         records = []
         prev_spacing = None
-        for i in range(0, N - 1, self.config.source_stride):
+        off = self._offset()
+        for i in range(off, N + off - 1, self.config.source_stride):
             A = self.ds.load_PC(s, i)
             j_max = self.find_farthest_partner(s, i, A, N, prev_spacing)
             if j_max is None:
@@ -231,7 +241,12 @@ class BalancedSetGenerator:
 
     def extract_all_candidates(self) -> np.ndarray:
         """Per-session extraction in up to num_workers processes (:574-600)."""
-        sessions = list(range(self.ds.session_count()))
+        # raw adapters restrict to a phase's sessions (e.g. KITTI test is
+        # [8, 9, 10] — datasets/KITTI.py:79-84); plain adapters expose a count
+        sessions = list(
+            getattr(self.ds, "sessions_list", None)
+            or range(self.ds.session_count())
+        )
         todo = [s for s in sessions if not os.path.exists(self._cand_file(s))]
         if todo:
             if self.config.num_workers > 1:

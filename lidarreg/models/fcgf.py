@@ -21,6 +21,7 @@ MXU matmul (sparse/conv.py docstring).
 """
 from __future__ import annotations
 
+import itertools
 from typing import Sequence
 
 import flax.linen as nn
@@ -161,7 +162,24 @@ class ResUNetBN2C(nn.Module):
             )
 
         km1_c1 = km(t1, v1, c1, v1, self.conv1_kernel_size, s)   # conv1 (k5)
-        km1 = km(t1, v1, c1, v1, 3, s)                           # L1 blocks
+        if self.conv1_kernel_size > 3:
+            # the 3^dim offsets are a subset of the conv1 kernel's offsets at
+            # the same stride, so the L1-blocks map is a row-slice of km1_c1
+            # — saves a 3^dim x V hash-lookup pass
+            k5, r5 = self.conv1_kernel_size, self.conv1_kernel_size // 2
+            sel = jnp.asarray(
+                [
+                    sum(
+                        (d + r5) * k5 ** (self.dim - 1 - ax)
+                        for ax, d in enumerate(deltas)
+                    )
+                    for deltas in itertools.product((-1, 0, 1), repeat=self.dim)
+                ],
+                jnp.int32,
+            )
+            km1 = type(km1_c1)(km1_c1.nb[sel], km1_c1.hit[sel])
+        else:
+            km1 = km(t1, v1, c1, v1, 3, s)                       # L1 blocks
         km2 = km(t2, v2, c2, v2, 3, 2 * s)
         km4 = km(t4, v4, c4, v4, 3, 4 * s)
         km8 = km(t8, v8, c8, v8, 3, 8 * s)

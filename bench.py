@@ -55,8 +55,17 @@ def build_pair(rng, n_raw=120_000):
 
 
 def main():
+    import sys
+
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
+
+    from lidarreg.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from lidarreg.core import registration_success
     from lidarreg.match import match_pair
@@ -102,6 +111,7 @@ def main():
         )
         return res
 
+    note("bench: compiling solver path...")
     # compile + correctness gate
     res = register(F0, F1, xyz0, xyz1, va.valid, vb.valid,
                    jax.random.PRNGKey(42))
@@ -109,6 +119,7 @@ def main():
     ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
     assert bool(ok), f"benchmark pair failed: RE={float(re)} TE={float(te)}"
 
+    note("bench: timing solver path...")
     times = []
     for trial in range(5):
         t0 = time.perf_counter()
@@ -118,6 +129,52 @@ def main():
         times.append(time.perf_counter() - t0)
     pairs_per_sec = 1.0 / min(times)
 
+    # ---- end-to-end WITH the real FCGF encoder in the timed path ----------
+    # (the reference's "reg time" metric EXCLUDES feature extraction —
+    # test.py:105-106 data/model timer split — so the headline above matches
+    # its scope; this second metric includes the full 2x FCGF forward.)
+    from lidarreg.models.fcgf import ResUNetBN2C
+    from lidarreg.sparse.tensor import SparseTensor
+
+    model = ResUNetBN2C()
+    st_a = SparseTensor(
+        va.coords, jnp.ones((CAP, 1), jnp.float32), va.valid, 1
+    )
+    st_b = SparseTensor(
+        vb.coords, jnp.ones((CAP, 1), jnp.float32), vb.valid, 1
+    )
+    params = model.init(jax.random.PRNGKey(3), st_a, train=False)
+
+    # two jitted stages (encoder, match+solve): one fused program compiles
+    # for many minutes on the tunneled chip; the per-call dispatch gap this
+    # adds to the timed path is ~1 ms and is PART of the honest pipeline cost
+    fwd = jax.jit(lambda p, st: model.apply(p, st, train=False))
+
+    @jax.jit
+    def match_solve(F0, F1, m0, m1, xyz0, xyz1, key):
+        c = match_pair(F0, F1, xyz0, mask0=m0, mask1=m1, mode="GPF")
+        return ransac_register(
+            xyz0, xyz1[c.idx1], c.keep, key, cfg,
+            quality=c.quality, refit_mask=c.valid,
+        )
+
+    def register_e2e(key):
+        Fa = fwd(params, st_a)
+        Fb = fwd(params, st_b)
+        return match_solve(Fa.feats, Fb.feats, Fa.valid, Fb.valid,
+                           xyz0, xyz1, key)
+
+    note("bench: compiling e2e (FCGF) path...")
+    jax.block_until_ready(register_e2e(jax.random.PRNGKey(0)).transform)
+    note("bench: timing e2e path...")
+    times_e2e = []
+    for trial in range(5):
+        t0 = time.perf_counter()
+        r = register_e2e(jax.random.PRNGKey(trial))
+        jax.block_until_ready(r.transform)
+        times_e2e.append(time.perf_counter() - t0)
+    e2e_pairs_per_sec = 1.0 / min(times_e2e)
+
     print(
         json.dumps(
             {
@@ -125,6 +182,10 @@ def main():
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/sec",
                 "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+                "extra": {
+                    "fcgf_e2e_pairs_per_sec": round(e2e_pairs_per_sec, 3),
+                    "fcgf_e2e_ms_per_pair": round(1000 * min(times_e2e), 1),
+                },
             }
         )
     )

@@ -72,6 +72,8 @@ def load_coarse_motions(path: str) -> dict:
 
 def main(argv=None):
     args = get_args(argv)
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -90,6 +90,8 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     # heavy imports after arg parsing (fast --help)
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -27,7 +27,7 @@ from .test import str2bool
 def get_args(argv=None):
     p = argparse.ArgumentParser("lidarreg train")
     p.add_argument("--model", required=True,
-                   choices=["pointdsc", "fcgf", "dgr"])
+                   choices=["pointdsc", "fcgf", "dgr", "oanet"])
     p.add_argument("--dataset", type=str, default="K")
     p.add_argument("--synthetic", type=str2bool, default=True)
     p.add_argument("--epochs", type=int, default=2)
@@ -39,6 +39,14 @@ def get_args(argv=None):
     p.add_argument("--capacity", type=int, default=8192)
     p.add_argument("--voxel_size", type=float, default=0.3)
     p.add_argument("--fcgf_weights_file", type=str, default=None)
+    p.add_argument("--precomputed_root", type=str, default=None,
+                   help="train pointdsc/oanet from a precomputed-descriptor "
+                        "pair directory (train_3DMatch.py indoor protocol)")
+    p.add_argument("--benchmark", type=str, default="3DMatch",
+                   choices=["3DMatch", "3DLoMatch", "Redwood", "KITTI"],
+                   help="family defaults when --precomputed_root is set")
+    p.add_argument("--descriptor", type=str, default="fcgf",
+                   choices=["fcgf", "fpfh"])
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
@@ -51,6 +59,8 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 
@@ -131,43 +141,107 @@ def main(argv=None):
 
         params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
 
-    elif args.model == "pointdsc":
+    elif args.model in ("pointdsc", "oanet"):
         from ..models import PointDSC
         from ..models.fcgf import ResUNetBN2C
         from ..data.pipeline import FeaturePipeline
-        from ..train.pointdsc_trainer import (
-            PointDSCTrainerConfig, init_state, make_train_step,
-        )
+        if args.model == "pointdsc":
+            from ..train.pointdsc_trainer import (
+                PointDSCTrainerConfig, init_state, make_train_step,
+            )
+        else:
+            # OANet shares the batch protocol and loop; no SM head
+            # (train/oanet_trainer.py)
+            from ..models.oanet import OANet
+            from ..train.oanet_trainer import (
+                OANetTrainerConfig as PointDSCTrainerConfig,
+                init_state, make_train_step,
+            )
         from ..train.losses import transformation_loss
 
-        fcgf = ResUNetBN2C()
-        dummy_st, _ = voxelized(np.zeros((64, 3), np.float32))
-        if args.fcgf_weights_file:
-            from ..utils.checkpoint import load_variables
-            fcgf_vars = load_variables(args.fcgf_weights_file)
-        else:
-            fcgf_vars = fcgf.init(jax.random.PRNGKey(0), dummy_st, train=False)
-        pipe = FeaturePipeline(
-            jax.jit(lambda v, x: fcgf.apply(v, x, train=False)),
-            fcgf_vars, args.voxel_size, cap, pt_cap, args.num_node,
-        )
+        if not args.precomputed_root:
+            fcgf = ResUNetBN2C()
+            dummy_st, _ = voxelized(np.zeros((64, 3), np.float32))
+            if args.fcgf_weights_file:
+                from ..utils.checkpoint import load_variables
+                fcgf_vars = load_variables(args.fcgf_weights_file)
+            else:
+                fcgf_vars = fcgf.init(jax.random.PRNGKey(0), dummy_st,
+                                      train=False)
+            pipe = FeaturePipeline(
+                jax.jit(lambda v, x: fcgf.apply(v, x, train=False)),
+                fcgf_vars, args.voxel_size, cap, pt_cap, args.num_node,
+            )
 
-        model = PointDSC(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2)
+        if args.model == "pointdsc":
+            if args.tiny:
+                model = PointDSC(num_layers=2, num_channels=32, ratio=0.2,
+                                 k=10)
+            elif args.precomputed_root and args.benchmark != "KITTI":
+                # indoor defaults (config.py:90-131 3DMatch family)
+                model = PointDSC(inlier_threshold=0.10, sigma_d=0.10,
+                                 nms_radius=0.10)
+            else:
+                model = PointDSC(inlier_threshold=1.2, sigma_d=1.2,
+                                 nms_radius=1.2)
+        else:
+            model = OANet(num_channels=32, num_layers=4, clusters=50) \
+                if args.tiny else OANet()
         cfg = PointDSCTrainerConfig(
             steps_per_epoch=args.steps_per_epoch,
             **({"lr": args.lr} if args.lr else {}),
         )
 
-        def sample_batch(ds, key):
-            outs = []
-            for b in range(args.batch_size * max(n_dev, 1)):
-                i = int(rng.integers(len(ds)))
-                key, sub = jax.random.split(key)
-                outs.append(pipe.pointdsc_batch(ds, i, sub))
-            return {
-                k: jnp.concatenate([o[k] for o in outs], axis=0)
-                for k in outs[0]
-            }
+        if args.precomputed_root:
+            # indoor protocol (Experiments/train_3DMatch.py:1-115): pairs come
+            # from precomputed descriptors; correspondences are padded by
+            # resampling to a fixed num_node so the step stays one program
+            from ..data.precomputed import PrecomputedPairDataset
+            from ..utils.config import DATASET_FAMILIES
+
+            fam = DATASET_FAMILIES.get(args.benchmark, DATASET_FAMILIES["3DMatch"])
+
+            def _pc_ds(split):
+                return PrecomputedPairDataset(
+                    args.precomputed_root, split=split,
+                    descriptor=args.descriptor, num_node=args.num_node,
+                    inlier_threshold=fam["inlier_threshold"], seed=args.seed,
+                )
+
+            pc_train, pc_val = _pc_ds("train"), _pc_ds("val")
+
+            def _fixed(item, n_fix, r):
+                n = len(item["gt_labels"])
+                sel = (np.arange(n) if n == n_fix
+                       else r.integers(0, max(n, 1), n_fix))
+                out = {k: item[k][sel] for k in
+                       ("corr_pos", "src_keypts", "tgt_keypts", "gt_labels")}
+                out["gt_trans"] = item["gt_trans"]
+                return out
+
+            def sample_batch(ds_unused, key):
+                ds_pc = pc_train if ds_unused is train_ds else pc_val
+                outs = []
+                for b in range(args.batch_size * max(n_dev, 1)):
+                    i = int(rng.integers(len(ds_pc)))
+                    item = _fixed(ds_pc[i], args.num_node, rng)
+                    outs.append({k: jnp.asarray(v)[None]
+                                 for k, v in item.items()})
+                return {
+                    k: jnp.concatenate([o[k] for o in outs], axis=0)
+                    for k in outs[0]
+                }
+        else:
+            def sample_batch(ds, key):
+                outs = []
+                for b in range(args.batch_size * max(n_dev, 1)):
+                    i = int(rng.integers(len(ds)))
+                    key, sub = jax.random.split(key)
+                    outs.append(pipe.pointdsc_batch(ds, i, sub))
+                return {
+                    k: jnp.concatenate([o[k] for o in outs], axis=0)
+                    for k in outs[0]
+                }
 
         ex = sample_batch(train_ds, jax.random.PRNGKey(0))
         state = init_state(model, cfg, ex, jax.random.PRNGKey(args.seed))
@@ -178,10 +252,11 @@ def main(argv=None):
 
         def val_metric(state):
             b = sample_batch(val_ds, jax.random.PRNGKey(999))
+            kw = {"testing": False} if args.model == "pointdsc" else {}
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 {k: b[k] for k in ("corr_pos", "src_keypts", "tgt_keypts")},
-                testing=False, train=False,
+                train=False, **kw,
             )
             tl = transformation_loss(
                 out["final_trans"], b["gt_trans"], b["src_keypts"],

@@ -43,6 +43,7 @@ class SparseConvLayer(nn.Module):
     kernel_size: int
     use_bias: bool = False
     num_offsets: int | None = None
+    compute_dtype: str | None = None   # 'bfloat16' halves gather traffic
 
     @nn.compact
     def __call__(self, feats, valid, kmap=None):
@@ -52,11 +53,15 @@ class SparseConvLayer(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (j, feats.shape[-1], self.out_channels),
         )
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         if self.kernel_size == 1:
-            out = jnp.dot(feats, w[0], preferred_element_type=jnp.float32)
+            x, wk = (feats, w[0]) if cdt is None else (
+                feats.astype(cdt), w[0].astype(cdt)
+            )
+            out = jnp.dot(x, wk, preferred_element_type=jnp.float32)
             out = out * valid[:, None]
         else:
-            out = apply_conv(feats, kmap, w, valid)
+            out = apply_conv(feats, kmap, w, valid, compute_dtype=cdt)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = (out + b) * valid[:, None]
@@ -98,15 +103,18 @@ class BasicBlockBN(nn.Module):
     channels: int
     bn_momentum: float = 0.05
     num_offsets: int = 27
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, feats, valid, kmap, train: bool):
         residual = feats
         out = SparseConvLayer(self.channels, 3, num_offsets=self.num_offsets,
+                              compute_dtype=self.compute_dtype,
                               name="conv1")(feats, valid, kmap)
         out = SparseBatchNorm(self.bn_momentum, name="norm1")(out, valid, train)
         out = nn.relu(out)
         out = SparseConvLayer(self.channels, 3, num_offsets=self.num_offsets,
+                              compute_dtype=self.compute_dtype,
                               name="conv2")(out, valid, kmap)
         out = SparseBatchNorm(self.bn_momentum, name="norm2")(out, valid, train)
         return nn.relu((out + residual) * valid[:, None])
@@ -123,6 +131,10 @@ class ResUNetBN2C(nn.Module):
     dim: int = 3   # 3 for point clouds; 6 for DGR's inlier net over pairs
     channels: Sequence[int] = (0, 32, 64, 128, 256)
     tr_channels: Sequence[int] = (0, 64, 64, 64, 128)
+    # 'bfloat16' runs every conv's gather+matmul in bf16 with f32
+    # accumulation (features are BN-normalized O(1); ~2x less gather HBM
+    # traffic). None = f32 exactly.
+    compute_dtype: str | None = "bfloat16"
     # Capacity of each stride level (level 0 = input capacity). Conservative
     # defaults: a level whose true voxel count exceeds its capacity silently
     # drops voxels (and with it, padding invariance) — real LiDAR reduces
@@ -132,6 +144,10 @@ class ResUNetBN2C(nn.Module):
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
         CH, TR = self.channels, self.tr_channels
+        # reduced precision is an INFERENCE optimization: training keeps f32
+        # end-to-end (bf16 backward pass loses the gradient signal when
+        # activations degenerate, e.g. isolated voxels + constant features)
+        cdt = None if train else self.compute_dtype
         cap = x.capacity
         caps = [max(256, cap // d) for d in self.level_capacity_div]
         bm = self.bn_momentum
@@ -194,51 +210,53 @@ class ResUNetBN2C(nn.Module):
         no = lambda k: k**self.dim  # noqa: E731
         out_s1 = SparseConvLayer(
             CH[1], self.conv1_kernel_size, num_offsets=no(self.conv1_kernel_size),
-            name="conv1",
+            compute_dtype=cdt, name="conv1",
         )(x.feats, v1, km1_c1)
         out_s1 = SparseBatchNorm(bm, name="norm1")(out_s1, v1, train)
-        out_s1 = BasicBlockBN(CH[1], bm, no(3), name="block1")(out_s1, v1, km1, train)
+        out_s1 = BasicBlockBN(CH[1], bm, no(3), compute_dtype=cdt, name="block1")(out_s1, v1, km1, train)
         out = nn.relu(out_s1)
 
-        out_s2 = SparseConvLayer(CH[2], 3, num_offsets=no(3), name="conv2")(out, v2, km_d12)
+        out_s2 = SparseConvLayer(CH[2], 3, num_offsets=no(3), compute_dtype=cdt, name="conv2")(out, v2, km_d12)
         out_s2 = SparseBatchNorm(bm, name="norm2")(out_s2, v2, train)
-        out_s2 = BasicBlockBN(CH[2], bm, no(3), name="block2")(out_s2, v2, km2, train)
+        out_s2 = BasicBlockBN(CH[2], bm, no(3), compute_dtype=cdt, name="block2")(out_s2, v2, km2, train)
         out = nn.relu(out_s2)
 
-        out_s4 = SparseConvLayer(CH[3], 3, num_offsets=no(3), name="conv3")(out, v4, km_d24)
+        out_s4 = SparseConvLayer(CH[3], 3, num_offsets=no(3), compute_dtype=cdt, name="conv3")(out, v4, km_d24)
         out_s4 = SparseBatchNorm(bm, name="norm3")(out_s4, v4, train)
-        out_s4 = BasicBlockBN(CH[3], bm, no(3), name="block3")(out_s4, v4, km4, train)
+        out_s4 = BasicBlockBN(CH[3], bm, no(3), compute_dtype=cdt, name="block3")(out_s4, v4, km4, train)
         out = nn.relu(out_s4)
 
-        out_s8 = SparseConvLayer(CH[4], 3, num_offsets=no(3), name="conv4")(out, v8, km_d48)
+        out_s8 = SparseConvLayer(CH[4], 3, num_offsets=no(3), compute_dtype=cdt, name="conv4")(out, v8, km_d48)
         out_s8 = SparseBatchNorm(bm, name="norm4")(out_s8, v8, train)
-        out_s8 = BasicBlockBN(CH[4], bm, no(3), name="block4")(out_s8, v8, km8, train)
+        out_s8 = BasicBlockBN(CH[4], bm, no(3), compute_dtype=cdt, name="block4")(out_s8, v8, km8, train)
         out = nn.relu(out_s8)
 
         # ---- decoder (coords reuse encoder levels) ------------------------ #
-        out = SparseConvLayer(TR[4], 3, num_offsets=no(3), name="conv4_tr")(out, v4, km_u84)
+        out = SparseConvLayer(TR[4], 3, num_offsets=no(3), compute_dtype=cdt, name="conv4_tr")(out, v4, km_u84)
         out = SparseBatchNorm(bm, name="norm4_tr")(out, v4, train)
-        out = BasicBlockBN(TR[4], bm, no(3), name="block4_tr")(out, v4, km4, train)
+        out = BasicBlockBN(TR[4], bm, no(3), compute_dtype=cdt, name="block4_tr")(out, v4, km4, train)
         out_s4_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s4_tr, out_s4], axis=1)
 
-        out = SparseConvLayer(TR[3], 3, num_offsets=no(3), name="conv3_tr")(out, v2, km_u42)
+        out = SparseConvLayer(TR[3], 3, num_offsets=no(3), compute_dtype=cdt, name="conv3_tr")(out, v2, km_u42)
         out = SparseBatchNorm(bm, name="norm3_tr")(out, v2, train)
-        out = BasicBlockBN(TR[3], bm, no(3), name="block3_tr")(out, v2, km2, train)
+        out = BasicBlockBN(TR[3], bm, no(3), compute_dtype=cdt, name="block3_tr")(out, v2, km2, train)
         out_s2_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s2_tr, out_s2], axis=1)
 
-        out = SparseConvLayer(TR[2], 3, num_offsets=no(3), name="conv2_tr")(out, v1, km_u21)
+        out = SparseConvLayer(TR[2], 3, num_offsets=no(3), compute_dtype=cdt, name="conv2_tr")(out, v1, km_u21)
         out = SparseBatchNorm(bm, name="norm2_tr")(out, v1, train)
-        out = BasicBlockBN(TR[2], bm, no(3), name="block2_tr")(out, v1, km1, train)
+        out = BasicBlockBN(TR[2], bm, no(3), compute_dtype=cdt, name="block2_tr")(out, v1, km1, train)
         out_s1_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s1_tr, out_s1], axis=1)
-        out = SparseConvLayer(TR[1], 1, name="conv1_tr")(out, v1)
+        out = SparseConvLayer(TR[1], 1, compute_dtype=cdt,
+                              name="conv1_tr")(out, v1)
         out = nn.relu(out)
-        out = SparseConvLayer(self.out_channels, 1, use_bias=True, name="final")(
+        out = SparseConvLayer(self.out_channels, 1, use_bias=True,
+                              compute_dtype=cdt, name="final")(
             out, v1
         )
 

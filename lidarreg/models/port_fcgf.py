@@ -1,0 +1,190 @@
+"""FCGF `.pth` checkpoint porting: reference torch/ME weights -> flax params.
+
+The reference stores ResUNetBN2C weights as a torch state_dict
+(Experiments/datasets/LidarFeatureExtractor.py:71-81 loads
+`checkpoint['state_dict']`; FCGF_FAST/net/train_FCGF.py:91-121 saves both a
+full `.t7` and an FCGF-compatible `.pth`). Key layout (misc/fcgf.py:229-798):
+
+  conv{1..4}.kernel                 ME conv kernels [K^3, Cin, Cout]
+  conv{4..2}_tr.kernel              ME transpose-conv kernels [27, Cin, Cout]
+  conv1_tr.kernel / final.kernel    kernel_size=1 convs, stored 2-D [Cin, Cout]
+  final.bias                        [1, Cout] (ME bias convention)
+  norm*.bn.{weight,bias,running_mean,running_var}   MinkowskiBatchNorm
+  block{n}[_tr].conv{1,2}.kernel + .norm{1,2}.bn.*  residual blocks
+
+This module maps that layout onto models.fcgf.ResUNetBN2C's flax tree so a
+published checkpoint can be benchmarked without a 400-epoch retrain
+(SURVEY.md §7 step 7). The only ambiguity is ME's kernel-offset enumeration
+order, which cannot be executed here (MinkowskiEngine is CUDA-only):
+`offset_order` selects between x-fastest ("xyz", ME 0.5's RegionIterator
+increments the first coordinate innermost) and z-fastest ("zyx", this
+repo's `kernel_offsets` order); `transpose_flip` optionally reverses the
+offset axis of the *_tr kernels (transpose convs gather with negated
+offsets in some ME versions). `validate_port` reports per-layer shape/stat
+agreement so the right combination is a 4-way A/B check on one real pair.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+__all__ = ["load_torch_state", "port_fcgf_state", "validate_port"]
+
+
+def load_torch_state(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference checkpoint -> {key: np.ndarray}.
+
+    Accepts a bare state_dict or a dict with 'state_dict' (the reference
+    saves {'state_dict': model.state_dict(), ...} — train_FCGF.py:91-121).
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        blob = blob["state_dict"]
+    out = {}
+    for k, v in blob.items():
+        if hasattr(v, "numpy"):
+            out[k.replace("module.", "")] = v.detach().cpu().numpy()
+    return out
+
+
+def _offset_perm(k: int, dim: int, order: str) -> np.ndarray:
+    """Permutation taking OUR offset index (z-fastest) to ME's index."""
+    if order == "zyx":
+        return np.arange(k**dim)
+    assert order == "xyz"
+    # ours: index = sum over axes ax of (d_ax + r) * k^(dim-1-ax)  (z fastest)
+    # ME x-fastest: index = sum of (d_ax + r) * k^ax
+    ours = np.arange(k**dim)
+    digits = []
+    rest = ours.copy()
+    for ax in range(dim):          # digit for axis ax in OUR encoding
+        p = k ** (dim - 1 - ax)
+        digits.append(rest // p)
+        rest = rest % p
+    me = np.zeros_like(ours)
+    for ax, d in enumerate(digits):
+        me += d * (k ** ax)
+    return me
+
+
+def _conv_kernel(w: np.ndarray, num_offsets: int, dim: int,
+                 order: str, flip: bool) -> np.ndarray:
+    """ME kernel -> [J, Cin, Cout] in this repo's offset enumeration."""
+    if w.ndim == 2:                # kernel_size=1 convs are stored 2-D
+        assert num_offsets == 1
+        return w[None]
+    assert w.shape[0] == num_offsets, (w.shape, num_offsets)
+    k = round(num_offsets ** (1.0 / dim))
+    perm = _offset_perm(k, dim, order)
+    w = w[perm]
+    if flip:
+        w = w[::-1]
+    return np.ascontiguousarray(w)
+
+
+def _bn(state: Dict[str, np.ndarray], prefix: str):
+    return (
+        {"scale": state[f"{prefix}.bn.weight"],
+         "bias": state[f"{prefix}.bn.bias"]},
+        {"mean": state[f"{prefix}.bn.running_mean"],
+         "var": state[f"{prefix}.bn.running_var"]},
+    )
+
+
+def port_fcgf_state(
+    state: Dict[str, np.ndarray],
+    conv1_kernel_size: int = 5,
+    dim: int = 3,
+    offset_order: str = "xyz",
+    transpose_flip: bool = False,
+) -> dict:
+    """torch state_dict -> flax variables {'params': ..., 'batch_stats': ...}.
+
+    Drop-in for `model.apply(variables, ...)` with models.fcgf.ResUNetBN2C.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(name, me_name, j, flip=False):
+        params[name] = {
+            "kernel": _conv_kernel(state[f"{me_name}.kernel"], j, dim,
+                                   offset_order, flip)
+        }
+        if f"{me_name}.bias" in state:
+            params[name]["bias"] = state[f"{me_name}.bias"].reshape(-1)
+
+    def norm(name, me_name):
+        p, s = _bn(state, me_name)
+        params[name] = p
+        stats[name] = s
+
+    def block(name, me_name, j):
+        p1 = {"kernel": _conv_kernel(state[f"{me_name}.conv1.kernel"], j,
+                                     dim, offset_order, False)}
+        p2 = {"kernel": _conv_kernel(state[f"{me_name}.conv2.kernel"], j,
+                                     dim, offset_order, False)}
+        n1p, n1s = _bn(state, f"{me_name}.norm1")
+        n2p, n2s = _bn(state, f"{me_name}.norm2")
+        params[name] = {"conv1": p1, "conv2": p2, "norm1": n1p, "norm2": n2p}
+        stats[name] = {"norm1": n1s, "norm2": n2s}
+
+    j3 = 3 ** dim
+    conv("conv1", "conv1", conv1_kernel_size ** dim)
+    norm("norm1", "norm1")
+    block("block1", "block1", j3)
+    for lvl in (2, 3, 4):
+        conv(f"conv{lvl}", f"conv{lvl}", j3)
+        norm(f"norm{lvl}", f"norm{lvl}")
+        block(f"block{lvl}", f"block{lvl}", j3)
+    for lvl in (4, 3, 2):
+        conv(f"conv{lvl}_tr", f"conv{lvl}_tr", j3, flip=transpose_flip)
+        norm(f"norm{lvl}_tr", f"norm{lvl}_tr")
+        block(f"block{lvl}_tr", f"block{lvl}_tr", j3)
+    conv("conv1_tr", "conv1_tr", 1)
+    conv("final", "final", 1)
+
+    return {"params": params, "batch_stats": stats}
+
+
+def validate_port(variables: dict, model) -> list[str]:
+    """Shape-check the ported tree against a freshly-initialized model.
+
+    Returns a list of mismatch descriptions (empty = structurally valid).
+    Numeric layer-by-layer validation additionally needs one reference
+    forward on real data (run the 4 offset_order/transpose_flip combinations
+    and compare recall — port_fcgf module docstring).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..sparse.tensor import SparseTensor
+
+    coords = jnp.asarray(np.mgrid[0:8, 0:8, 0:4].reshape(3, -1).T,
+                         jnp.int32)
+    cap = coords.shape[0]
+    x = SparseTensor(coords, jnp.ones((cap, model.in_channels), jnp.float32),
+                     jnp.ones((cap,), bool), 1)
+    ref = model.init(jax.random.PRNGKey(0), x, train=False)
+    problems = []
+
+    def flat(tree):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(p): l for p, l in leaves}
+
+    flat_ref = flat(ref)
+    flat_got = flat(jax.tree_util.tree_map(jnp.asarray, variables))
+    for key, leaf in flat_ref.items():
+        if key not in flat_got:
+            problems.append(f"missing {key}")
+        elif tuple(flat_got[key].shape) != tuple(leaf.shape):
+            problems.append(
+                f"shape {key}: got {tuple(flat_got[key].shape)} "
+                f"want {tuple(leaf.shape)}"
+            )
+    for key in flat_got:
+        if key not in flat_ref:
+            problems.append(f"unexpected {key}")
+    return problems

@@ -16,9 +16,12 @@ TPU-first design (no sequential iteration loop):
   `lax.map` over chunks of `chunk_size` hypotheses; per chunk: minimal-sample
   gather -> edge-length-constraint mask -> closed-form quaternion Kabsch
   (core.kabsch, SVD-free) -> staged inlier counting:
-    stage 1: every hypothesis scored on a `stage1_samples`-point random
-             subset (the batched analogue of SPRT/ELC preemption: cheap test
-             for all, full test for survivors);
+    stage 0 (SPRT): every hypothesis scored on a tiny `sprt_samples` subset;
+             only the per-chunk `sprt_survivors` best advance — the batched
+             analogue of GC-RANSAC's sequential probability-ratio preemption
+             (preemption_sprt.h): a cheap test kills the bulk, progressively
+             more expensive tests run on progressively fewer survivors;
+    stage 1: survivors scored on a `stage1_samples`-point random subset;
     stage 2: the `top_k` stage-1 survivors scored on ALL correspondences;
   winner is re-fit by iterated least-squares on its inliers over the
   *unfiltered* correspondence set (FR.py:99-111), `refit_iters` rounds —
@@ -66,6 +69,14 @@ class RansacConfig(NamedTuple):
     top_k: int = 512                    # stage-2 survivors
     refit_iters: int = 3                # LO substitute (GC_LO, test.py:313)
     chunk_size: int = 65_536            # hypotheses per XLA map step
+    # SPRT-style pre-stage (preemption_sprt.h semantics, batched): every
+    # hypothesis is first scored on a tiny `sprt_samples` subset; only the
+    # per-chunk `sprt_survivors` best advance to the stage-1 subset. 0 = off.
+    # Default OFF: the v5e ablation (scripts/lo_ablation.py, BASELINE.md)
+    # shows hypothesis generation, not scoring, bounds the solve at these
+    # correspondence counts, so the pre-stage only adds overhead.
+    sprt_samples: int = 0
+    sprt_survivors: int = 4096
 
 
 class RansacResult(NamedTuple):
@@ -192,6 +203,8 @@ def _score_chunk(
     pts6,
     sub_src,
     sub_tgt,
+    sprt_src,
+    sprt_tgt,
     cfg: RansacConfig,
     total_hyps: int,
 ):
@@ -240,11 +253,36 @@ def _score_chunk(
     ok = ok & jnp.all(srt[1:] != srt[:-1], axis=0)
 
     rt = _minimal_kabsch_soa(g)  # 12 x [C]
+    thr2 = cfg.inlier_thresh**2
 
-    # --- stage-1 scoring on the shared random subset -----------------------
-    d2 = _transform_dist2_soa(rt, sub_src, sub_tgt)  # [C, M0]
-    cnt = jnp.sum(d2 < cfg.inlier_thresh**2, axis=-1).astype(jnp.int32)
-    fitness = jnp.where(ok, cnt, -1)
+    if cfg.sprt_samples > 0 and cfg.sprt_survivors < C \
+            and C % cfg.sprt_survivors == 0:
+        # --- SPRT pre-stage: tiny subset for ALL hypotheses ----------------
+        d2 = _transform_dist2_soa(rt, sprt_src, sprt_tgt)      # [C, m_sprt]
+        cnt0 = jnp.sum(d2 < thr2, axis=-1).astype(jnp.int32)
+        fit0 = jnp.where(ok, cnt0, -1)
+        # survivor selection is GROUP-max, not lax.top_k: top_k over 65k
+        # costs more than the scoring it saves (v5e-profiled); hypotheses
+        # are iid, so the best of each contiguous C/S-group is an unbiased
+        # survivor set of exactly S
+        S = cfg.sprt_survivors
+        G = C // S
+        grp = fit0.reshape(S, G)
+        lane = jnp.argmax(grp, axis=1).astype(jnp.int32)        # [S]
+        surv = jnp.arange(S, dtype=jnp.int32) * G + lane
+        top0 = jnp.take_along_axis(grp, lane[:, None], axis=1)[:, 0]
+        rt_s = tuple(c[surv] for c in rt)                       # 12 x [S]
+        d2 = _transform_dist2_soa(rt_s, sub_src, sub_tgt)       # [S, M0]
+        cnt1 = jnp.sum(d2 < thr2, axis=-1).astype(jnp.int32)
+        fitness = (
+            jnp.full((C,), -1, jnp.int32)
+            .at[surv].set(jnp.where(top0 >= 0, cnt1, -1))
+        )
+    else:
+        # --- stage-1 scoring on the shared random subset -------------------
+        d2 = _transform_dist2_soa(rt, sub_src, sub_tgt)  # [C, M0]
+        cnt = jnp.sum(d2 < thr2, axis=-1).astype(jnp.int32)
+        fitness = jnp.where(ok, cnt, -1)
     return fitness, jnp.stack(rt)  # [C], [12, C]
 
 
@@ -311,7 +349,7 @@ def ransac_register(
 
     # Shared stage-1 subset: first `stage1_samples` of a random permutation of
     # the kept candidates (padding-safe: modulo n_keep).
-    key, k_sub = jax.random.split(key)
+    key, k_sub, k_sprt = jax.random.split(key, 3)
     m0 = cfg.stage1_samples
     pick = jnp.floor(
         jax.random.uniform(k_sub, (m0,)) * jnp.maximum(n_keep, 1)
@@ -319,6 +357,15 @@ def ransac_register(
     sub_ids = cand_idx[pick]
     sub_src = src[sub_ids]
     sub_tgt = tgt[sub_ids]
+    # SPRT pre-stage subset (independent draw so pre-stage survivors aren't
+    # overfit to the stage-1 scoring points)
+    m_sprt = max(cfg.sprt_samples, 1)
+    pick0 = jnp.floor(
+        jax.random.uniform(k_sprt, (m_sprt,)) * jnp.maximum(n_keep, 1)
+    ).astype(jnp.int32)
+    sprt_ids = cand_idx[pick0]
+    sprt_src = src[sprt_ids]
+    sprt_tgt = tgt[sprt_ids]
 
     pts6 = jnp.concatenate([src.T, tgt.T], axis=0)  # [6, N] SoA layout
 
@@ -331,6 +378,8 @@ def ransac_register(
         pts6=pts6,
         sub_src=sub_src,
         sub_tgt=sub_tgt,
+        sprt_src=sprt_src,
+        sprt_tgt=sprt_tgt,
         cfg=cfg,
         total_hyps=n_chunks * cfg.chunk_size,
     )

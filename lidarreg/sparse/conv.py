@@ -70,11 +70,20 @@ def apply_conv(
     weights: jnp.ndarray,    # [J, Cin, Cout]
     out_valid: jnp.ndarray,  # [Vo]
     precision: str = "default",
+    compute_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
-    """img2col sparse conv: one gather + one big contraction. [Vo, Cout]."""
-    g = in_feats[kmap.nb] * kmap.hit[..., None]  # [J, Vo, Cin]
+    """img2col sparse conv: one gather + one big contraction. [Vo, Cout].
+
+    `compute_dtype=jnp.bfloat16` halves the neighbor-gather HBM traffic and
+    doubles MXU rate; accumulation stays f32 (`preferred_element_type`).
+    Feature-space math tolerates bf16 (activations are BN-normalized O(1));
+    geometry paths must NOT pass a reduced dtype.
+    """
+    x = in_feats if compute_dtype is None else in_feats.astype(compute_dtype)
+    w = weights if compute_dtype is None else weights.astype(compute_dtype)
+    g = x[kmap.nb] * kmap.hit[..., None].astype(x.dtype)  # [J, Vo, Cin]
     out = jnp.einsum(
-        "jvc,jcd->vd", g, weights,
+        "jvc,jcd->vd", g, w,
         precision=precision, preferred_element_type=jnp.float32,
     )
     return out * out_valid[:, None]

@@ -18,6 +18,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1_000_000)
     args = ap.parse_args(argv)
 
+    from lidarreg.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

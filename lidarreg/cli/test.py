@@ -39,7 +39,7 @@ def get_args(argv=None):
                    help="K/A/B/S/L or full name")
     p.add_argument("--algo", type=str, default="RANSAC",
                    choices=["RANSAC", "GC_RANSAC", "PointDSC", "TEASER",
-                            "DGR"])
+                            "DGR", "OANet"])
     p.add_argument("--codebase", type=str, default="batched",
                    choices=["batched", "open3d", "GC"],
                    help="RANSAC preset (FR.py:61-98 codebase switch): "
@@ -60,6 +60,8 @@ def get_args(argv=None):
     p.add_argument("--features", type=str, default="fcgf",
                    choices=["fcgf", "surrogate"])
     p.add_argument("--fcgf_weights_file", type=str, default=None)
+    p.add_argument("--oanet_weights_file", type=str, default=None,
+                   help="trained OANet checkpoint for --algo OANet")
     p.add_argument("--pointdsc_weights_file", type=str, default=None,
                    help="trained PointDSC checkpoint (msgpack) for "
                         "--algo PointDSC (test.py:377-397 snapshot load)")
@@ -251,6 +253,45 @@ def main(argv=None):
             inl = (d < 2 * args.voxel_size) & m0
             return FRResult(res.transform, res.idx1, m0, m0, inl,
                             jnp.sum(m0.astype(jnp.int32)))
+
+    elif args.algo == "OANet":
+        # OANet benchmarked alongside PointDSC on the same correspondence
+        # inputs (Experiments/models/OANet.py)
+        from ..bench.registration import FRResult
+        from ..data.pipeline import build_pointdsc_input
+        from ..models.oanet import OANet
+        from ..core.se3 import transform as se3_transform
+
+        omodel = (OANet(num_channels=32, num_layers=4, clusters=50)
+                  if args.tiny else OANet())
+        num_node = min(args.num_node, cap)
+        dummy = {
+            "corr_pos": jnp.zeros((1, num_node, 6)),
+            "src_keypts": jnp.zeros((1, num_node, 3)),
+            "tgt_keypts": jnp.zeros((1, num_node, 3)),
+        }
+        if args.oanet_weights_file:
+            from ..utils.checkpoint import load_variables
+            ovars = load_variables(args.oanet_weights_file)
+        else:
+            ovars = omodel.init(jax.random.PRNGKey(1), dummy, train=False)
+
+        @jax.jit
+        def fr(F0, F1, xyz0, xyz1, m0, m1, key):
+            data = build_pointdsc_input(
+                key, xyz0, F0, m0, xyz1, F1, m1, num_node,
+                2 * args.voxel_size,
+            )
+            out = omodel.apply(ovars, data, train=False)
+            T = out["final_trans"][0]
+            from ..ops.knn import find_nn
+
+            nn = find_nn(F0, F1, mask1=m1)
+            warped = se3_transform(xyz0, T)
+            d = jnp.linalg.norm(warped - xyz1[nn.idx], axis=-1)
+            inl = (d < 2 * args.voxel_size) & m0
+            return FRResult(T, nn.idx, m0, m0,
+                            inl, jnp.sum(m0.astype(jnp.int32)))
 
     else:  # PointDSC (Experiments/test.py:377-397 inference path)
         from ..bench.registration import FRResult

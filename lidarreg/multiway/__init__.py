@@ -5,3 +5,19 @@ from .trajectory import (  # noqa: F401
     read_trajectory,
     write_trajectory,
 )
+from .fragments import (  # noqa: F401
+    CameraIntrinsic,
+    TSDFVolume,
+    depth_to_points,
+    extract_surface_points,
+    integrate_frame,
+    make_fragment,
+    rgbd_odometry,
+)
+from .fileio import (  # noqa: F401
+    get_rgbd_file_lists,
+    initialize_config,
+    make_clean_folder,
+    read_depth_png,
+    sorted_alphanum,
+)

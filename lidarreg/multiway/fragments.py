@@ -1,0 +1,359 @@
+"""RGBD fragment construction: odometry -> pose graph -> TSDF -> point cloud.
+
+Rebuilds Experiments/multiway/make_fragments.py:23-140 (the front half of
+the multiway experiment: Open3D RGBD odometry + ScalableTSDFVolume) with
+TPU-native math:
+
+  * `rgbd_odometry` — point-to-plane depth odometry (fixed Gauss-Newton
+    iterations over the projective association, fully jitted) standing in
+    for o3d.odometry.compute_rgbd_odometry's hybrid color+depth term
+    (make_fragments.py:35-62). DOCUMENTED DEVIATION + LIMITATION: without
+    the color term, depth-only odometry is only well-conditioned when the
+    visible geometry spans >= 3 independent normal directions; on
+    low-geometry scenes (walls/floors) the weak directions are
+    noise-driven (the hybrid term exists for exactly this). Validated on
+    multi-plane synthetic scenes (tests/test_fragments.py); fragment-scale
+    pose-graph + TSDF smooth residual per-pair error. Returns (success, T,
+    6x6 information) with the information matrix built from the
+    point-to-plane Jacobians like
+    o3d.registration.get_information_matrix_from_point_clouds.
+  * `TSDFVolume` — a DENSE truncated-signed-distance volume integrated one
+    depth frame per call: every voxel center is projected into the frame
+    (one fused vectorized pass — the TPU-native replacement for Open3D's
+    scalable hash volume, make_fragments.py:112-131), with the classic
+    weighted running average (Curless-Levoy).
+  * `extract_surface_points` — zero-crossing voxels with central-difference
+    normals. The reference extracts a marching-cubes mesh and immediately
+    discards the faces (make_fragments.py:133-140 uses mesh.vertices as the
+    fragment POINT CLOUD), so surface points are the functional output.
+  * `make_fragment` — frames -> odometry chain + keyframe loop closures ->
+    line-process pose-graph optimization (multiway.posegraph) -> TSDF
+    integration -> fragment cloud (make_fragments.py:65-140).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.se3 import integrate
+from .posegraph import PoseGraphEdge, optimize_pose_graph
+
+__all__ = [
+    "CameraIntrinsic",
+    "depth_to_points",
+    "rgbd_odometry",
+    "TSDFVolume",
+    "integrate_frame",
+    "extract_surface_points",
+    "make_fragment",
+]
+
+
+class CameraIntrinsic(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+
+
+def depth_to_points(depth: jnp.ndarray, K: CameraIntrinsic,
+                    max_depth: float = 3.0):
+    """Back-project a depth image -> ([H*W, 3] camera-frame points, valid)."""
+    h, w = depth.shape
+    v, u = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    z = depth
+    x = (u - K.cx) / K.fx * z
+    y = (v - K.cy) / K.fy * z
+    pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    valid = ((z > 1e-4) & (z < max_depth)).reshape(-1)
+    return pts, valid
+
+
+def _cholesky_solve6(A, b):
+    """Unrolled 6x6 SPD solve in scalar f32 ops.
+
+    TPU's jnp.linalg.solve lowers to a matmul-blocked LU that honors the
+    default (bf16) matmul precision — a Gauss-Newton step solved that way
+    lands ~millimetres off and the odometry converges to a biased fixed
+    point (v5e-observed). 36 scalar ops are exact and free.
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-18))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def _normals_from_depth(depth: jnp.ndarray, K: CameraIntrinsic):
+    """Per-pixel normals via cross products of forward differences."""
+    h, w = depth.shape
+    pts, _ = depth_to_points(depth, K, max_depth=jnp.inf)
+    P = pts.reshape(h, w, 3)
+    dx = jnp.roll(P, -1, axis=1) - P
+    dy = jnp.roll(P, -1, axis=0) - P
+    n = jnp.cross(dx, dy)
+    norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+    return (n / norm).reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def rgbd_odometry(
+    depth_src: jnp.ndarray,    # [H, W] metres
+    depth_tgt: jnp.ndarray,
+    K: CameraIntrinsic,
+    iters: int = 10,
+    max_depth: float = 3.0,
+    max_depth_diff: float = 0.07,   # config["max_depth_diff"] default
+    init_T: jnp.ndarray | None = None,
+):
+    """Projective point-to-plane odometry src->tgt.
+
+    Returns (success, T [4,4] mapping src-frame points into tgt-frame,
+    info [6,6]). `success` mirrors o3d's criterion: enough associated pixels.
+    """
+    src_pts, src_valid = depth_to_points(depth_src, K, max_depth)
+    tgt_P, tgt_valid = depth_to_points(depth_tgt, K, max_depth)
+    tgt_P = tgt_P.reshape(K.height, K.width, 3)
+    tgt_N = _normals_from_depth(depth_tgt, K).reshape(K.height, K.width, 3)
+    T0 = jnp.eye(4) if init_T is None else init_T
+
+    tgt_valid_img = tgt_valid.reshape(K.height, K.width)
+
+    def step(T, _):
+        R, t = T[:3, :3], T[:3, 3]
+        p = jnp.einsum("nc,dc->nd", src_pts, R, precision="highest") + t
+        u = p[:, 0] / jnp.maximum(p[:, 2], 1e-6) * K.fx + K.cx
+        v = p[:, 1] / jnp.maximum(p[:, 2], 1e-6) * K.fy + K.cy
+        # bilinear sub-pixel sampling of the target surface (nearest-pixel
+        # rounding quantizes the association and biases the fixed point)
+        u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, K.width - 2)
+        v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, K.height - 2)
+        fu = jnp.clip(u - u0, 0.0, 1.0)[:, None]
+        fv = jnp.clip(v - v0, 0.0, 1.0)[:, None]
+
+        def bil(img):
+            return (
+                img[v0, u0] * (1 - fu) * (1 - fv)
+                + img[v0, u0 + 1] * fu * (1 - fv)
+                + img[v0 + 1, u0] * (1 - fu) * fv
+                + img[v0 + 1, u0 + 1] * fu * fv
+            )
+
+        q = bil(tgt_P)
+        nrm = bil(tgt_N)
+        # interpolating unit normals across a crease or occlusion boundary
+        # shrinks the vector; such pixels carry garbage normals AND their
+        # window membership is ulp-sensitive (grid-aligned projections can
+        # flip floor(u) between backends) — gate them out for determinism
+        nlen2 = jnp.sum(nrm * nrm, -1)
+        nrm = nrm / jnp.sqrt(nlen2 + 1e-12)[..., None]
+        coherent = nlen2 > 0.9
+        z4 = jnp.stack([
+            tgt_P[v0, u0, 2], tgt_P[v0, u0 + 1, 2],
+            tgt_P[v0 + 1, u0, 2], tgt_P[v0 + 1, u0 + 1, 2],
+        ])
+        corner_ok = (
+            tgt_valid_img[v0, u0] & tgt_valid_img[v0, u0 + 1]
+            & tgt_valid_img[v0 + 1, u0] & tgt_valid_img[v0 + 1, u0 + 1]
+            # don't interpolate across depth discontinuities (occlusion
+            # boundaries blend fore/background into phantom surface points)
+            & (z4.max(0) - z4.min(0) < max_depth_diff)
+        )
+        ok = (
+            src_valid
+            & (p[:, 2] > 1e-4)
+            # stay a pixel inside the border (roll-based normals wrap there)
+            & (u >= 1) & (u <= K.width - 2) & (v >= 1) & (v <= K.height - 2)
+            & corner_ok
+            & coherent
+            & (jnp.abs(p[:, 2] - q[:, 2]) < max_depth_diff)
+        )
+        r = jnp.sum((p - q) * nrm, axis=-1)               # point-to-plane
+        # Geman-McClure IRLS: boundary pixels whose association flips at
+        # depth discontinuities carry large residuals and garbage normals;
+        # robust downweighting keeps them from steering the solve
+        delta = 0.1 * max_depth_diff
+        w = ok.astype(jnp.float32) / (1.0 + (r / delta) ** 2)
+        J = jnp.concatenate([jnp.cross(p, nrm), nrm], axis=-1)  # [N, 6]
+        A = jnp.einsum("ni,nj->ij", J * w[:, None], J, precision="highest")
+        b = jnp.einsum("ni,n->i", J * w[:, None], r, precision="highest")
+        xi = _cholesky_solve6(A + 1e-6 * jnp.eye(6), -b)
+        wvec, tvec = xi[:3], xi[3:]
+        th = jnp.sqrt(jnp.sum(wvec**2) + 1e-12)
+        k = wvec / th
+        Kx = jnp.array([
+            [0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]
+        ])
+        Kx2 = jnp.einsum("ij,jk->ik", Kx, Kx, precision="highest")
+        dR = jnp.eye(3) + jnp.sin(th) * Kx + (1 - jnp.cos(th)) * Kx2
+        dT = integrate(dR, tvec)
+        T_new = jnp.einsum("ij,jk->ik", dT, T, precision="highest")
+        return T_new, (jnp.sum(ok.astype(jnp.float32)), A)
+
+    T, (counts, A) = jax.lax.scan(step, T0, None, length=iters)
+    n_assoc = counts[-1]
+    success = n_assoc > 0.1 * jnp.sum(src_valid.astype(jnp.float32))
+    return success, T, A[-1] + jnp.eye(6)
+
+
+class TSDFVolume(NamedTuple):
+    tsdf: jnp.ndarray     # [X, Y, Z]
+    weight: jnp.ndarray   # [X, Y, Z]
+    origin: jnp.ndarray   # [3] world position of voxel (0,0,0)
+    voxel: float          # edge length (tsdf_cubic_size / 512)
+    trunc: float          # sdf truncation (0.04 m)
+
+    @staticmethod
+    def create(dims: Sequence[int], origin, voxel: float, trunc: float = 0.04):
+        return TSDFVolume(
+            jnp.ones(tuple(dims), jnp.float32),
+            jnp.zeros(tuple(dims), jnp.float32),
+            jnp.asarray(origin, jnp.float32), float(voxel), float(trunc),
+        )
+
+
+@partial(jax.jit, static_argnums=(3,))
+def integrate_frame(vol: TSDFVolume, depth: jnp.ndarray,
+                    cam_from_world: jnp.ndarray, K: CameraIntrinsic,
+                    max_depth: float = 3.0):
+    """Fuse one depth frame (Curless-Levoy weighted average; one fused pass)."""
+    dims = vol.tsdf.shape
+    ii, jj, kk = jnp.meshgrid(*[jnp.arange(d) for d in dims], indexing="ij")
+    centers = (
+        jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32) + 0.5
+    ) * vol.voxel + vol.origin                      # [X, Y, Z, 3] world
+    R, t = cam_from_world[:3, :3], cam_from_world[:3, 3]
+    pc = jnp.einsum("xyzc,dc->xyzd", centers, R, precision="highest") + t
+    z = pc[..., 2]
+    u = pc[..., 0] / jnp.maximum(z, 1e-6) * K.fx + K.cx
+    v = pc[..., 1] / jnp.maximum(z, 1e-6) * K.fy + K.cy
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, K.width - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, K.height - 1)
+    d = depth[vi, ui]
+    sdf = d - z
+    seen = (
+        (z > 1e-4) & (d > 1e-4) & (d < max_depth)
+        & (u >= 0) & (u <= K.width - 1) & (v >= 0) & (v <= K.height - 1)
+        & (sdf > -vol.trunc)
+    )
+    tsdf_obs = jnp.clip(sdf / vol.trunc, -1.0, 1.0)
+    w_obs = seen.astype(jnp.float32)
+    new_w = vol.weight + w_obs
+    new_t = jnp.where(
+        new_w > 0,
+        (vol.tsdf * vol.weight + tsdf_obs * w_obs) / jnp.maximum(new_w, 1e-6),
+        vol.tsdf,
+    )
+    return vol._replace(tsdf=new_t, weight=new_w)
+
+
+def extract_surface_points(vol: TSDFVolume, capacity: int,
+                           iso_band: float = 0.2, min_weight: float = 1.0):
+    """Zero-crossing voxel centers (+ central-difference normals).
+
+    The reference's fragments are mesh VERTICES used as a point cloud
+    (make_fragments.py:133-140); surface voxels within `iso_band` of the
+    zero level set are the equivalent sample. Returns (points [capacity, 3],
+    normals [capacity, 3], valid [capacity]).
+    """
+    t, w = vol.tsdf, vol.weight
+    surf = (jnp.abs(t) < iso_band) & (w >= min_weight)
+    gx = jnp.roll(t, -1, 0) - jnp.roll(t, 1, 0)
+    gy = jnp.roll(t, -1, 1) - jnp.roll(t, 1, 1)
+    gz = jnp.roll(t, -1, 2) - jnp.roll(t, 1, 2)
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    g = g / jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-12)
+    dims = t.shape
+    ii, jj, kk = jnp.meshgrid(*[jnp.arange(d) for d in dims], indexing="ij")
+    centers = (
+        jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32) + 0.5
+    ) * vol.voxel + vol.origin
+    # offset along the gradient to the zero crossing (first-order)
+    centers = centers - (t[..., None] * vol.trunc) * g
+    flat_ok = surf.reshape(-1)
+    order = jnp.argsort(~flat_ok)        # surface voxels first, stable
+    sel = order[:capacity]
+    pts = centers.reshape(-1, 3)[sel]
+    nrm = g.reshape(-1, 3)[sel]
+    valid = flat_ok[sel]
+    return pts, nrm, valid
+
+
+def make_fragment(
+    depths: Sequence[np.ndarray],
+    K: CameraIntrinsic,
+    n_keyframes_per_n_frame: int = 5,
+    volume_dims=(256, 256, 256),
+    volume_origin=(-2.0, -2.0, 0.0),
+    tsdf_cubic_size: float = 3.0,
+    capacity: int = 100_000,
+    max_depth: float = 3.0,
+):
+    """Frames -> fragment point cloud + optimized per-frame poses.
+
+    Mirrors make_posegraph_for_fragment (odometry chain edges certain,
+    keyframe pairs uncertain, make_fragments.py:65-110) + the optimize +
+    integrate stages. Returns (points, normals, valid, poses [F,4,4]).
+    """
+    F = len(depths)
+    depths_j = [jnp.asarray(d, jnp.float32) for d in depths]
+    nodes = [np.eye(4)]
+    edges = []
+    odo = np.eye(4)
+    for s in range(F - 1):
+        ok, T, info = rgbd_odometry(depths_j[s], depths_j[s + 1], K,
+                                    max_depth=max_depth)
+        T = np.asarray(T)          # T_{s+1 <- s}
+        odo = T @ odo              # T_{s+1 <- 0}
+        nodes.append(np.linalg.inv(odo))
+        # posegraph edges carry T_{i <- j} (edge residual log(T^-1 Xi^-1 Xj))
+        edges.append(
+            PoseGraphEdge(s, s + 1, np.linalg.inv(T), np.asarray(info), False)
+        )
+    for s in range(0, F, n_keyframes_per_n_frame):
+        for t_ in range(s + n_keyframes_per_n_frame, F,
+                        n_keyframes_per_n_frame):
+            ok, T, info = rgbd_odometry(depths_j[s], depths_j[t_], K,
+                                        max_depth=max_depth)
+            if bool(ok):
+                edges.append(
+                    PoseGraphEdge(s, t_, np.linalg.inv(np.asarray(T)),
+                                  np.asarray(info), True)
+                )
+    opt_nodes, _, _ = optimize_pose_graph(np.stack(nodes), edges)
+    opt_nodes = np.asarray(opt_nodes)
+
+    vol = TSDFVolume.create(
+        volume_dims, volume_origin, tsdf_cubic_size / 512.0
+    )
+    for i in range(F):
+        cam_from_world = np.linalg.inv(opt_nodes[i])
+        vol = integrate_frame(vol, depths_j[i],
+                              jnp.asarray(cam_from_world, jnp.float32), K,
+                              max_depth)
+    pts, nrm, valid = extract_surface_points(vol, capacity)
+    return np.asarray(pts), np.asarray(nrm), np.asarray(valid), opt_nodes

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..sparse.hashtable import build_table
 from ..sparse.tensor import SparseTensor, downsample_coords, kernel_offsets
 from .fcgf import BasicBlockBN, SparseBatchNorm, SparseConvLayer
-from ..sparse.conv import kernel_map
+from ..sparse.conv import invert_kernel_map, kernel_map
 
 
 def _mk_table(coords, valid, capacity):
@@ -80,8 +80,14 @@ class LevelStructs:
 
     def up(self, lvl: int, k: int = 3):
         # transpose conv: inputs at level lvl, outputs at lvl-1, offsets in
-        # OUTPUT-stride units (sparse/conv.py conventions)
-        return self.km(lvl, lvl - 1, k, self.stride[lvl - 1])
+        # OUTPUT-stride units — derived by inverting the matching down map
+        # (J set-scatters instead of a J x V hash-lookup pass)
+        key = ("up", lvl, k)
+        if key not in self._kmaps:
+            self._kmaps[key] = invert_kernel_map(
+                self.down(lvl - 1, k), self.coords[lvl - 1].shape[0]
+            )
+        return self._kmaps[key]
 
 
 class SimpleNet(nn.Module):

@@ -27,7 +27,12 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..sparse.conv import apply_conv, kernel_map, table_for
+from ..sparse.conv import (
+    apply_conv,
+    invert_kernel_map,
+    kernel_map,
+    table_for,
+)
 from ..sparse.hashtable import build_table
 from ..sparse.tensor import SparseTensor, downsample_coords, kernel_offsets
 
@@ -202,9 +207,12 @@ class ResUNetBN2C(nn.Module):
         km_d12 = km(t1, v1, c2, v2, 3, s)        # stride-2 convs (down)
         km_d24 = km(t2, v2, c4, v4, 3, 2 * s)
         km_d48 = km(t4, v4, c8, v8, 3, 4 * s)
-        km_u84 = km(t8, v8, c4, v4, 3, 4 * s)    # conv_tr (up), offsets in
-        km_u42 = km(t4, v4, c2, v2, 3, 2 * s)    # OUTPUT-stride units
-        km_u21 = km(t2, v2, c1, v1, 3, s)
+        # conv_tr (up) maps are exact inversions of the down maps — J
+        # set-scatters instead of a J x V hash-lookup pass (sparse/conv.py
+        # invert_kernel_map)
+        km_u84 = invert_kernel_map(km_d48, c4.shape[0])
+        km_u42 = invert_kernel_map(km_d24, c2.shape[0])
+        km_u21 = invert_kernel_map(km_d12, c1.shape[0])
 
         # ---- encoder ----------------------------------------------------- #
         no = lambda k: k**self.dim  # noqa: E731

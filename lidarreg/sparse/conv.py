@@ -64,6 +64,25 @@ def kernel_map(
     return KernelMap(nb_safe, hit)
 
 
+def invert_kernel_map(down: KernelMap, n_fine: int) -> KernelMap:
+    """Transpose-conv kernel map derived from the matching down-conv map.
+
+    A stride-2 conv's (offset j, coarse out o, fine in i) pairs are exactly
+    the transpose conv's (J-1-j, i, o) pairs back onto the finer coordinate
+    set (offset negation reverses the hypercube enumeration). J set-scatters
+    replace a J x V hash-lookup pass (~30% of FCGF kernel-map cost on v5e).
+    """
+    J, Vc = down.nb.shape
+    nb = jnp.zeros((J, n_fine), jnp.int32)
+    hit = jnp.zeros((J, n_fine), bool)
+    coarse_rows = jnp.arange(Vc, dtype=jnp.int32)
+    for j in range(J):
+        tgt = jnp.where(down.hit[j], down.nb[j], n_fine)
+        nb = nb.at[J - 1 - j, tgt].set(coarse_rows, mode="drop")
+        hit = hit.at[J - 1 - j, tgt].set(True, mode="drop")
+    return KernelMap(nb, hit)
+
+
 def apply_conv(
     in_feats: jnp.ndarray,   # [Vi, Cin]
     kmap: KernelMap,

@@ -208,3 +208,36 @@ class TestCuckooAtScale:
             assert bool(placed.all()), f"unplaced keys at n={len(coords)}"
             got = np.asarray(lookup(table, jnp.asarray(coords)))
             np.testing.assert_array_equal(got, np.arange(len(coords)))
+
+
+class TestInvertKernelMap:
+    def test_matches_direct_lookup(self, rng):
+        """Inverted down-map == directly-looked-up transpose map."""
+        from lidarreg.sparse import build_table
+        from lidarreg.sparse.conv import invert_kernel_map, kernel_map
+
+        cap = 512
+        coords = np.unique(
+            (rng.integers(-20, 20, (cap, 3)) * 1).astype(np.int32), axis=0
+        )
+        n = len(coords)
+        coords = np.concatenate(
+            [coords, np.full((cap - n, 3), 2**20, np.int32)]
+        )
+        valid = np.arange(cap) < n
+        c1, v1 = jnp.asarray(coords), jnp.asarray(valid)
+        c2, v2 = downsample_coords(c1, v1, 1, cap)
+        t1, _ = build_table(c1, v1, 4096)
+        t2, _ = build_table(c2, v2, 4096)
+
+        offs = kernel_offsets(3, 1, 3)
+        down = kernel_map(t1, v1, c2, v2, offs)       # L1 -> L2 (stride 2)
+        up_direct = kernel_map(t2, v2, c1, v1, offs)  # L2 -> L1 (transpose)
+        up_derived = invert_kernel_map(down, cap)
+
+        hd = np.asarray(up_direct.hit)
+        hv = np.asarray(up_derived.hit)
+        np.testing.assert_array_equal(hd, hv)
+        nd = np.asarray(up_direct.nb)
+        nv = np.asarray(up_derived.nb)
+        np.testing.assert_array_equal(nd[hd], nv[hd])

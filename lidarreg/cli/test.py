@@ -143,6 +143,13 @@ def main(argv=None):
                                            cap, jnp.int32(m))
             out = fcgf_apply(variables, st)
             return xyz, out.feats, out.valid
+
+        # one batched forward per pair: tables/kernel maps amortize over
+        # both clouds (data.pipeline.prepare_pair_sparse_input)
+        from ..data.pipeline import FeaturePipeline
+        _pipe = FeaturePipeline(fcgf_apply, variables, args.voxel_size,
+                                cap, pt_cap, args.num_node)
+        features_for_pair = _pipe.features_for_pair
     else:
         # surrogate: noisy GT-aligned positions (solver-benchmark mode).
         # T_align comes explicitly from the harness per cloud (GT motion for
@@ -224,7 +231,10 @@ def main(argv=None):
                 conv1_kernel_size=3,
             )
         else:
+            # inlier_conv1_kernel_size=3 (DGR/config.py:83): k5 in 6-D
+            # would be 5^6 = 15625 offsets
             inlier_model = ResUNetBN2C(dim=6, out_channels=1,
+                                       conv1_kernel_size=3,
                                        normalize_feature=False)
         dummy6 = SparseTensor(
             jnp.zeros((cap, 6), jnp.int32), jnp.ones((cap, 1)),
@@ -331,6 +341,8 @@ def main(argv=None):
             return FRResult(T, nn.idx, m0, m0,
                             inl, jnp.sum(m0.astype(jnp.int32)))
 
+    if args.features != "fcgf":
+        features_for_pair = None
     cfg = EvalConfig(algo=args.algo, voxel_size=args.voxel_size,
                      max_samples=args.max_samples)
     repeat_recalls, repeat_times = [], []
@@ -342,7 +354,7 @@ def main(argv=None):
         stats = evaluate_pairs(
             ds, features_for, fr, cfg, jax.random.PRNGKey(args.seed + rep),
             rank=args.rank, world_size=args.world_size, progress=True,
-            out_transforms=transforms,
+            out_transforms=transforms, features_for_pair=features_for_pair,
         )
         repeat_recalls.append(100.0 * stats[:, 0].mean())
         repeat_times.append(stats[:, 9].mean())

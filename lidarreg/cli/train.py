@@ -39,6 +39,11 @@ def get_args(argv=None):
     p.add_argument("--capacity", type=int, default=8192)
     p.add_argument("--voxel_size", type=float, default=0.3)
     p.add_argument("--fcgf_weights_file", type=str, default=None)
+    p.add_argument("--features", type=str, default="fcgf",
+                   choices=["fcgf", "surrogate"],
+                   help="pointdsc/dgr correspondence source: 'surrogate' "
+                        "builds noisy GT-aligned descriptors (protocol-scale "
+                        "inlier ratios without a fully-trained FCGF)")
     p.add_argument("--precomputed_root", type=str, default=None,
                    help="train pointdsc/oanet from a precomputed-descriptor "
                         "pair directory (train_3DMatch.py indoor protocol)")
@@ -160,18 +165,53 @@ def main(argv=None):
         from ..train.losses import transformation_loss
 
         if not args.precomputed_root:
-            fcgf = ResUNetBN2C()
-            dummy_st, _ = voxelized(np.zeros((64, 3), np.float32))
-            if args.fcgf_weights_file:
-                from ..utils.checkpoint import load_variables
-                fcgf_vars = load_variables(args.fcgf_weights_file)
+            if args.features == "surrogate":
+                # noisy GT-aligned position descriptors: the pair's clouds
+                # map to a shared frame, so NN matching yields protocol-scale
+                # inlier ratios without a fully-trained encoder (the
+                # reference trains PointDSC on descriptors from a CONVERGED
+                # FCGF — 400 real-data epochs; surrogate mode decouples the
+                # outlier-rejection recipe from encoder availability)
+                from ..data.pipeline import build_pointdsc_input
+
+                class _SurrogatePipe:
+                    def pointdsc_batch(self, ds_, ind, key):
+                        T_gt, ca, cb = ds_.get_pair(ind)
+                        key, ka, kb = jax.random.split(key, 3)
+
+                        def fx(c, T, k):
+                            pad, m = pad_cloud(c, pt_cap)
+                            st, xyz = prepare_sparse_input(
+                                jnp.asarray(pad), args.voxel_size, cap,
+                                jnp.int32(m))
+                            p = xyz @ jnp.asarray(
+                                T[:3, :3].T.astype(np.float32)
+                            ) + jnp.asarray(T[:3, 3].astype(np.float32))
+                            f = p + jax.random.normal(k, p.shape) * 0.35
+                            return xyz, f, st.valid
+
+                        xyz0, F0, m0 = fx(ca, T_gt, ka)
+                        xyz1, F1, m1 = fx(cb, np.eye(4), kb)
+                        return build_pointdsc_input(
+                            key, xyz0, F0, m0, xyz1, F1, m1,
+                            args.num_node, 2 * args.voxel_size,
+                            T_gt=jnp.asarray(T_gt.astype(np.float32)),
+                        )
+
+                pipe = _SurrogatePipe()
             else:
-                fcgf_vars = fcgf.init(jax.random.PRNGKey(0), dummy_st,
-                                      train=False)
-            pipe = FeaturePipeline(
-                jax.jit(lambda v, x: fcgf.apply(v, x, train=False)),
-                fcgf_vars, args.voxel_size, cap, pt_cap, args.num_node,
-            )
+                fcgf = ResUNetBN2C()
+                dummy_st, _ = voxelized(np.zeros((64, 3), np.float32))
+                if args.fcgf_weights_file:
+                    from ..utils.checkpoint import load_variables
+                    fcgf_vars = load_variables(args.fcgf_weights_file)
+                else:
+                    fcgf_vars = fcgf.init(jax.random.PRNGKey(0), dummy_st,
+                                          train=False)
+                pipe = FeaturePipeline(
+                    jax.jit(lambda v, x: fcgf.apply(v, x, train=False)),
+                    fcgf_vars, args.voxel_size, cap, pt_cap, args.num_node,
+                )
 
         if args.model == "pointdsc":
             if args.tiny:
@@ -292,7 +332,9 @@ def main(argv=None):
                 conv1_kernel_size=3,
             )
         else:
+            # inlier_conv1_kernel_size=3 (DGR/config.py:83)
             inlier_net = ResUNetBN2C(dim=6, out_channels=1,
+                                     conv1_kernel_size=3,
                                      normalize_feature=False)
         cfg = DGRTrainerConfig(
             steps_per_epoch=args.steps_per_epoch,
@@ -304,13 +346,23 @@ def main(argv=None):
             T, a, b = ds.get_pair(i)
             st0, xyz0 = voxelized(a)
             st1, xyz1 = voxelized(b)
-            f0 = fcgf_apply(fcgf_vars, st0)
-            f1 = fcgf_apply(fcgf_vars, st1)
+            if args.features == "surrogate":
+                # GT-aligned position descriptors (see --features help)
+                ka, kb = jax.random.split(jax.random.fold_in(key, i))
+                Ta = jnp.asarray(T.astype(np.float32))
+                F0 = (xyz0 @ Ta[:3, :3].T + Ta[:3, 3]
+                      + jax.random.normal(ka, xyz0.shape) * 0.35)
+                F1 = xyz1 + jax.random.normal(kb, xyz1.shape) * 0.35
+                f0v, f1v = st0.valid, st1.valid
+            else:
+                f0 = fcgf_apply(fcgf_vars, st0)
+                f1 = fcgf_apply(fcgf_vars, st1)
+                F0, F1, f0v, f1v = f0.feats, f1.feats, f0.valid, f1.valid
             return {
-                "F0": f0.feats, "F1": f1.feats,
+                "F0": F0, "F1": F1,
                 "xyz0": xyz0, "xyz1": xyz1,
                 "c0": st0.coords, "c1": st1.coords,
-                "m0": f0.valid, "m1": f1.valid,
+                "m0": f0v, "m1": f1v,
                 "T_gt": jnp.asarray(T.astype(np.float32)),
             }
 

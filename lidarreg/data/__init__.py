@@ -23,6 +23,7 @@ from .pipeline import (  # noqa: F401
     FeaturePipeline,
     pad_cloud,
     prepare_sparse_input,
+    prepare_pair_sparse_input,
     build_pointdsc_input,
 )
 from . import augment  # noqa: F401

@@ -64,6 +64,44 @@ def prepare_sparse_input(cloud: jnp.ndarray, voxel_size: float, capacity: int,
     return st, xyz
 
 
+_PAIR_OFFSET = jnp.int32(1 << 17)   # voxel units; >> any kernel radius
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def prepare_pair_sparse_input(cloud_a: jnp.ndarray, cloud_b: jnp.ndarray,
+                              voxel_size: float, capacity: int,
+                              n_a: jnp.ndarray | None = None,
+                              n_b: jnp.ndarray | None = None):
+    """Voxelize BOTH clouds of a pair into ONE batched SparseTensor.
+
+    Cloud B's voxel coordinates are offset by +2^17 along x — far beyond
+    any kernel radius — so a single FCGF forward processes both clouds with
+    zero cross-talk while amortizing every table build, kernel map, gather
+    and matmul over 2x rows (ME's batched_coordinates achieves the same
+    with an explicit batch column; a spatial offset keeps dim=3).
+
+    Returns (SparseTensor [2*capacity], xyz_a, xyz_b [capacity, 3]).
+    """
+    st_a, xyz_a = prepare_sparse_input(cloud_a, voxel_size, capacity, n_a)
+    st_b, xyz_b = prepare_sparse_input(cloud_b, voxel_size, capacity, n_b)
+    coords = jnp.concatenate(
+        [st_a.coords,
+         st_b.coords + jnp.array([_PAIR_OFFSET, 0, 0], jnp.int32)], axis=0
+    )
+    # padding rows must stay far from BOTH clouds' occupied regions
+    coords = jnp.where(
+        jnp.concatenate([st_a.valid, st_b.valid])[:, None],
+        coords, jnp.int32(2**30),
+    )
+    st = SparseTensor(
+        coords,
+        jnp.concatenate([st_a.feats, st_b.feats], axis=0),
+        jnp.concatenate([st_a.valid, st_b.valid], axis=0),
+        1,
+    )
+    return st, xyz_a, xyz_b
+
+
 def sample_keypoints(key, valid: jnp.ndarray, num_node: int) -> jnp.ndarray:
     """Sample exactly num_node valid row indices.
 
@@ -153,6 +191,22 @@ class FeaturePipeline:
         )
         feats = self.fcgf_apply(self.variables, st)
         return xyz, feats.feats, feats.valid
+
+    def features_for_pair(self, cloud_a: np.ndarray, cloud_b: np.ndarray):
+        """One batched forward for both clouds (prepare_pair_sparse_input).
+
+        Returns (xyz_a, F_a, m_a, xyz_b, F_b, m_b).
+        """
+        pad_a, na = pad_cloud(cloud_a, self.point_capacity)
+        pad_b, nb = pad_cloud(cloud_b, self.point_capacity)
+        st, xyz_a, xyz_b = prepare_pair_sparse_input(
+            jnp.asarray(pad_a), jnp.asarray(pad_b), self.voxel_size,
+            self.capacity, jnp.int32(na), jnp.int32(nb),
+        )
+        out = self.fcgf_apply(self.variables, st)
+        c = self.capacity
+        return (xyz_a, out.feats[:c], out.valid[:c],
+                xyz_b, out.feats[c:], out.valid[c:])
 
     def pointdsc_batch(self, dataset, ind: int, key) -> Dict[str, Any]:
         T_gt, cloud_a, cloud_b = dataset.get_pair(ind)

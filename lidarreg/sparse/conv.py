@@ -100,11 +100,30 @@ def apply_conv(
     """
     x = in_feats if compute_dtype is None else in_feats.astype(compute_dtype)
     w = weights if compute_dtype is None else weights.astype(compute_dtype)
-    g = x[kmap.nb] * kmap.hit[..., None].astype(x.dtype)  # [J, Vo, Cin]
-    out = jnp.einsum(
-        "jvc,jcd->vd", g, w,
-        precision=precision, preferred_element_type=jnp.float32,
-    )
+    J, Vo = kmap.nb.shape
+    cin = x.shape[-1]
+
+    def contract(nb, hit, wj):
+        g = x[nb] * hit[..., None].astype(x.dtype)        # [j, Vo, Cin]
+        return jnp.einsum(
+            "jvc,jcd->vd", g, wj,
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+
+    # the im2col intermediate is [J, Vo, Cin]; 6-D nets (J = 3^6 = 729)
+    # at full width would materialize multi-GB buffers — chunk the offset
+    # axis and accumulate instead (elements budget ~128M = 512 MB f32)
+    budget = 128 * 2**20
+    if J * Vo * cin <= budget:
+        out = contract(kmap.nb, kmap.hit, w)
+    else:
+        step = max(1, budget // (Vo * cin))
+        out = jnp.zeros((Vo, weights.shape[-1]), jnp.float32)
+        for j0 in range(0, J, step):
+            out = out + contract(
+                kmap.nb[j0:j0 + step], kmap.hit[j0:j0 + step],
+                w[j0:j0 + step],
+            )
     return out * out_valid[:, None]
 
 

@@ -1,0 +1,66 @@
+"""Run the full algorithm benchmark matrix on shared synthetic pairs.
+
+One cli.test invocation per algorithm over the same N pairs (synthetic
+scenes driven by the REAL published balanced-set motions), mirroring the
+reference's per-algo test.py runs; results land in BASELINE.md's matrix.
+
+  python scripts/benchmark_matrix.py [--pairs 12] [--dataset K]
+      [--pointdsc_weights ...] [--oanet_weights ...] [--dgr_weights ...]
+"""
+import argparse
+import re
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=12)
+    ap.add_argument("--dataset", type=str, default="K")
+    ap.add_argument("--iters", type=int, default=50_000)
+    ap.add_argument("--capacity", type=int, default=16384)
+    ap.add_argument("--pointdsc_weights", type=str, default=None)
+    ap.add_argument("--oanet_weights", type=str, default=None)
+    ap.add_argument("--dgr_weights", type=str, default=None)
+    ap.add_argument("--algos", type=str, nargs="+",
+                    default=["RANSAC", "GC_RANSAC", "TEASER", "PointDSC",
+                             "OANet", "DGR"])
+    args = ap.parse_args(argv)
+
+    from lidarreg.cli.test import main as test_main
+
+    rows = []
+    for algo in args.algos:
+        argv_i = [
+            "--dataset", args.dataset, "--algo", algo,
+            "--features", "surrogate", "--synthetic", "true",
+            "--phase", "validation",
+            "--max_samples", str(args.pairs),
+            "--iters", str(args.iters),
+            "--capacity", str(args.capacity),
+            "--outdir", f"outputs/matrix_{algo}",
+        ]
+        if algo == "PointDSC" and args.pointdsc_weights:
+            argv_i += ["--pointdsc_weights_file", args.pointdsc_weights]
+        if algo == "OANet" and args.oanet_weights:
+            argv_i += ["--oanet_weights_file", args.oanet_weights]
+        if algo == "DGR" and args.dgr_weights:
+            argv_i += ["--dgr_weights_file", args.dgr_weights]
+        print(f"=== {algo} ===", flush=True)
+        report = test_main(argv_i)
+        print(report, flush=True)
+        m = re.search(
+            rf"{algo}\s*\|\s*recall: ([\d.]+)%.*?TE\(cm\): ([\d.nan]+), "
+            rf"RE\(deg\): ([\d.nan]+), mean reg time\(s\): ([\d.]+)",
+            report,
+        )
+        if m:
+            rows.append((algo, *m.groups()))
+
+    print("\n| Algo | recall | TE (cm) | RE (deg) | mean reg time |")
+    print("|---|---|---|---|---|")
+    for algo, rec, te, re_, t in rows:
+        print(f"| {algo} | {rec}% | {te} | {re_} | {float(t)*1000:.0f} ms |")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,49 @@ class TestResUNetBN2C:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestPairBatchedForward:
+    def test_pair_forward_matches_single(self, rng):
+        """One batched pair forward == two single forwards, voxel for voxel."""
+        import jax
+        from lidarreg.data.pipeline import (
+            prepare_pair_sparse_input, prepare_sparse_input,
+        )
+        from lidarreg.models.fcgf import ResUNetBN2C
+
+        # sizes chosen so every U-Net level fits its capacity in BOTH the
+        # single and pair configurations (capacity overflow drops voxels
+        # and would differ between them)
+        cap = 1024
+        cloud_a = rng.uniform(-10, 10, (800, 3)).astype(np.float32)
+        cloud_b = rng.uniform(-10, 10, (700, 3)).astype(np.float32)
+        model = ResUNetBN2C(
+            channels=(0, 8, 16, 16, 32), tr_channels=(0, 8, 8, 8, 16),
+            out_channels=8, conv1_kernel_size=3, compute_dtype=None,
+        )
+        st_a, xyz_a = prepare_sparse_input(jnp.asarray(cloud_a), 0.3, cap)
+        st_b, xyz_b = prepare_sparse_input(jnp.asarray(cloud_b), 0.3, cap)
+        params = model.init(jax.random.PRNGKey(0), st_a, train=False)
+        f_a = model.apply(params, st_a, train=False)
+        f_b = model.apply(params, st_b, train=False)
+
+        st, pxa, pxb = prepare_pair_sparse_input(
+            jnp.asarray(cloud_a), jnp.asarray(cloud_b), 0.3, cap
+        )
+        fp = model.apply(params, st, train=False)
+        np.testing.assert_array_equal(np.asarray(pxa), np.asarray(xyz_a))
+        np.testing.assert_array_equal(np.asarray(pxb), np.asarray(xyz_b))
+        va = np.asarray(st_a.valid)
+        vb = np.asarray(st_b.valid)
+        np.testing.assert_array_equal(np.asarray(fp.valid[:cap]), va)
+        np.testing.assert_array_equal(np.asarray(fp.valid[cap:]), vb)
+        # layer 1 is bit-exact (see sparse tests); deeper layers pick up
+        # f32 reassociation from the 2x-shaped einsum tilings, so compare
+        # unit features by cosine
+        for got, want, m in (
+            (fp.feats[:cap], f_a.feats, va),
+            (fp.feats[cap:], f_b.feats, vb),
+        ):
+            cos = np.sum(np.asarray(got)[m] * np.asarray(want)[m], axis=1)
+            assert cos.min() > 0.9999, cos.min()

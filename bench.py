@@ -136,12 +136,17 @@ def main():
     from lidarreg.models.fcgf import ResUNetBN2C
     from lidarreg.sparse.tensor import SparseTensor
 
+    from lidarreg.data.pipeline import prepare_pair_sparse_input
+
     model = ResUNetBN2C()
     st_a = SparseTensor(
         va.coords, jnp.ones((CAP, 1), jnp.float32), va.valid, 1
     )
-    st_b = SparseTensor(
-        vb.coords, jnp.ones((CAP, 1), jnp.float32), vb.valid, 1
+    # ONE batched forward per pair (prepare_pair_sparse_input: cloud B's
+    # coordinates offset 2^17 voxels — tables/kernel maps amortize over
+    # both clouds)
+    st_pair, _, _ = prepare_pair_sparse_input(
+        jnp.asarray(cloud_a), jnp.asarray(cloud_b), VOX, CAP
     )
     params = model.init(jax.random.PRNGKey(3), st_a, train=False)
 
@@ -159,9 +164,9 @@ def main():
         )
 
     def register_e2e(key):
-        Fa = fwd(params, st_a)
-        Fb = fwd(params, st_b)
-        return match_solve(Fa.feats, Fb.feats, Fa.valid, Fb.valid,
+        F = fwd(params, st_pair)
+        return match_solve(F.feats[:CAP], F.feats[CAP:],
+                           F.valid[:CAP], F.valid[CAP:],
                            xyz0, xyz1, key)
 
     note("bench: compiling e2e (FCGF) path...")

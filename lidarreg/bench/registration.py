@@ -35,6 +35,13 @@ class FRConfig(NamedTuple):
     top_k: int = 512
     refit_iters: int = 3
     chunk_size: int = 65_536
+    # GC preset: run the native graph-cut local optimization
+    # (native/gc_local_opt.cpp, exact s-t min-cut under the GC-RANSAC
+    # energy) on the winner as a host post-step — the C++ LO the reference
+    # binds (gcransac_python.cpp:404-624). 0.0 is the reference harness
+    # default lambda (Experiments/test.py:306).
+    graph_cut_lo: bool = False
+    spatial_coherence_weight: float = 0.0
 
 
 class FRResult(NamedTuple):
@@ -81,7 +88,26 @@ def make_fr_register(cfg: FRConfig):
             num_kept=res.num_kept,
         )
 
-    return register
+    if not cfg.graph_cut_lo:
+        return register
+
+    import numpy as np
+
+    from ..native import gc_local_optimize
+
+    def register_gc(F0, F1, xyz0, xyz1, m0, m1, key):
+        res = register(F0, F1, xyz0, xyz1, m0, m1, key)
+        keep = np.asarray(res.keep & res.valid)
+        src = np.asarray(xyz0)[keep]
+        tgt = np.asarray(xyz1)[np.asarray(res.idx1)][keep]
+        pose, _, _ = gc_local_optimize(
+            src, tgt, np.asarray(res.transform, np.float64),
+            threshold=2.0 * cfg.voxel_size,
+            spatial_coherence_weight=cfg.spatial_coherence_weight,
+        )
+        return res._replace(transform=jnp.asarray(pose, jnp.float32))
+
+    return register_gc
 
 
 def make_pointdsc_register(model, variables):

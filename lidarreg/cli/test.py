@@ -177,6 +177,11 @@ def main(argv=None):
             prosac, refit_iters = False, 1
         else:
             prosac, refit_iters = args.prosac, 3
+        # the GC preset runs the actual graph-cut local optimization
+        # (native C++ s-t min-cut, GC-RANSAC LO semantics) instead of the
+        # in-solver iterated-LS refits, so the GC_RANSAC benchmark row
+        # measures the reference's LO, not the default path again
+        gc_lo = codebase == "GC"
         fr = make_fr_register(
             FRConfig(
                 mode=args.mode,
@@ -186,7 +191,8 @@ def main(argv=None):
                 use_elc=args.fast_rejection == "ELC",
                 grid_wid=args.GPF_grid_wid,
                 gpf_factor=args.GPF_factor,
-                refit_iters=refit_iters,
+                refit_iters=0 if gc_lo else refit_iters,
+                graph_cut_lo=gc_lo,
             )
         )
     elif args.algo == "TEASER":

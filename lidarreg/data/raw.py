@@ -304,15 +304,29 @@ class ApolloSouthbayFull(_FullDataset):
         assert phase in ("train", "test"), phase
         self.phase = phase
         self.root = root
-        self.session_paths = self._find_session_paths()
-        marker = "TrainData" if phase == "train" else "Test"
-        self.sessions_list = [
-            i for i, p in enumerate(self.session_paths)
-            if p is not None and marker in p
-        ]
-        self.GT_poses = {
-            s: self._load_gt_poses(s) for s in self.sessions_list
-        }
+        # discovery and pose loading are LAZY: constructing the adapter on a
+        # multi-GB archive must not os.walk it, and a partial archive only
+        # errors when a missing session is actually touched
+        self._session_paths: List[str | None] | None = None
+        self._sessions_list: List[int] | None = None
+        self._gt_rows: Dict[int, np.ndarray] = {}
+        self._pose_by_frame: Dict[int, Dict[int, np.ndarray]] = {}
+
+    @property
+    def session_paths(self) -> List[str | None]:
+        if self._session_paths is None:
+            self._session_paths = self._find_session_paths()
+        return self._session_paths
+
+    @property
+    def sessions_list(self) -> List[int]:
+        if self._sessions_list is None:
+            marker = "TrainData" if self.phase == "train" else "Test"
+            self._sessions_list = [
+                i for i, p in enumerate(self.session_paths)
+                if p is not None and marker in p
+            ]
+        return self._sessions_list
 
     def _find_session_paths(self) -> List[str | None]:
         subdirs = [os.path.join(d, "") for d, _, _ in os.walk(self.root)]
@@ -323,13 +337,34 @@ class ApolloSouthbayFull(_FullDataset):
             out.append(matches[0] if matches else None)
         return out
 
-    def _load_gt_poses(self, s: int) -> np.ndarray:
-        path = os.path.join(self.session_paths[s], "poses", "gt_poses.txt")
-        return np.loadtxt(path, ndmin=2)
+    def _session_path(self, s: int) -> str:
+        path = self.session_paths[s]
+        if path is None:
+            raise FileNotFoundError(
+                f"Apollo session {s} ({self.SESSION_KEYS[s]}) is absent "
+                f"under {self.root} (partial archive?)"
+            )
+        return path
+
+    def _gt(self, s: int) -> np.ndarray:
+        if s not in self._gt_rows:
+            path = os.path.join(self._session_path(s), "poses", "gt_poses.txt")
+            self._gt_rows[s] = np.loadtxt(path, ndmin=2)
+        return self._gt_rows[s]
 
     def _pose(self, s: int, index: int) -> np.ndarray:
-        gt = self.GT_poses[s]
-        row = gt[np.where(gt[:, 0] == index)[0][0]]
+        # O(1) frame lookup (gt_poses.txt rows are keyed by frame index in
+        # column 0 and need not be dense or sorted)
+        if s not in self._pose_by_frame:
+            gt = self._gt(s)
+            self._pose_by_frame[s] = {int(r[0]): r for r in gt}
+        try:
+            row = self._pose_by_frame[s][int(index)]
+        except KeyError:
+            raise KeyError(
+                f"Apollo session {s}: no pose row for frame {index} in "
+                f"{os.path.join(self._session_path(s), 'poses/gt_poses.txt')}"
+            ) from None
         T = np.eye(4)
         T[:3, 3] = row[2:5]
         T[:3, :3] = quaternion_xyzw_to_matrix(*row[5:9])
@@ -339,13 +374,15 @@ class ApolloSouthbayFull(_FullDataset):
         return 1
 
     def session_count(self) -> int:
-        return len(self.session_paths)
+        return len(self.SESSION_KEYS)
 
     def session_length(self, s: int) -> int:
-        return len(self.GT_poses[s])
+        return len(self._gt(s))
 
     def load_PC(self, s: int, index: int) -> np.ndarray:
-        return read_pcd(os.path.join(self.session_paths[s], "pcds", f"{index}.pcd"))
+        return read_pcd(
+            os.path.join(self._session_path(s), "pcds", f"{index}.pcd")
+        )
 
     def get_relative_motion(self, s: int, i: int, j: int) -> np.ndarray:
         return np.linalg.inv(self._pose(s, j)) @ self._pose(s, i)

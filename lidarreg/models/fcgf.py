@@ -31,6 +31,7 @@ from ..sparse.conv import (
     apply_conv,
     invert_kernel_map,
     kernel_map,
+    kernel_map_stride1,
     table_for,
 )
 from ..sparse.hashtable import build_table
@@ -42,6 +43,12 @@ class SparseConvLayer(nn.Module):
 
     kernel_size==1 needs no map (pure per-voxel dense matmul).
     `num_offsets` = kernel_size ** dim (the kmap's offset count).
+    `ones_input=True` asserts the input features are the all-ones column
+    the FCGF/DGR convention feeds the stem conv
+    (LidarFeatureExtractor.py:131-139 / deep_global_registration.py:380:
+    ME.SparseTensor(features=ones)): x[nb]*hit == hit, so the neighbor
+    GATHER (J*V rows, the most expensive op of the level-1 stack) is
+    replaced by a pure [V,J]x[J,C] hit-mask matmul — exact, not approximate.
     """
 
     out_channels: int
@@ -49,6 +56,7 @@ class SparseConvLayer(nn.Module):
     use_bias: bool = False
     num_offsets: int | None = None
     compute_dtype: str | None = None   # 'bfloat16' halves gather traffic
+    ones_input: bool = False
 
     @nn.compact
     def __call__(self, feats, valid, kmap=None):
@@ -65,6 +73,12 @@ class SparseConvLayer(nn.Module):
             )
             out = jnp.dot(x, wk, preferred_element_type=jnp.float32)
             out = out * valid[:, None]
+        elif self.ones_input and feats.shape[-1] == 1:
+            h = kmap.hit.astype(cdt or jnp.float32)          # [J, V]
+            wk = w[:, 0, :] if cdt is None else w[:, 0, :].astype(cdt)
+            out = jnp.einsum(
+                "jv,jd->vd", h, wk, preferred_element_type=jnp.float32
+            ) * valid[:, None]
         else:
             out = apply_conv(feats, kmap, w, valid, compute_dtype=cdt)
         if self.use_bias:
@@ -140,6 +154,10 @@ class ResUNetBN2C(nn.Module):
     # accumulation (features are BN-normalized O(1); ~2x less gather HBM
     # traffic). None = f32 exactly.
     compute_dtype: str | None = "bfloat16"
+    # FCGF/DGR feed all-ones input features (LidarFeatureExtractor.py:131-139)
+    # — lets conv1 skip its J*V-row neighbor gather (SparseConvLayer). Set
+    # False if real features are ever fed at the stem.
+    ones_input: bool = True
     # Capacity of each stride level (level 0 = input capacity). Conservative
     # defaults: a level whose true voxel count exceeds its capacity silently
     # drops voxels (and with it, padding invariance) — real LiDAR reduces
@@ -166,9 +184,10 @@ class ResUNetBN2C(nn.Module):
         c8, v8 = downsample_coords(c4, v4, 4 * s, caps[3])
 
         def mk_table(coords, valid, capacity):
-            # per-side cuckoo size (total 2x => combined load <= 12.5%)
+            # per-side entries at table_factor 16: bucket load 0.25 at 4
+            # lanes -> the 1-probe lookup's retry path fires ~never
             size = 1
-            while size < 4 * capacity:
+            while size < 16 * capacity:
                 size *= 2
             table, _ = build_table(coords, valid, size)
             return table
@@ -178,9 +197,12 @@ class ResUNetBN2C(nn.Module):
         t8 = mk_table(c8, v8, caps[3])
 
         def km(table, tv, coords, valid, k, units):
-            return kernel_map(
-                table, tv, coords, valid, kernel_offsets(k, units, self.dim)
-            )
+            offs = kernel_offsets(k, units, self.dim)
+            if valid is tv:
+                # stride-1 same-coordinate-set map: symmetric-stencil halving
+                # (half the hash lookups; mirror half by set-scatter)
+                return kernel_map_stride1(table, tv, coords, offs)
+            return kernel_map(table, tv, coords, valid, offs)
 
         km1_c1 = km(t1, v1, c1, v1, self.conv1_kernel_size, s)   # conv1 (k5)
         if self.conv1_kernel_size > 3:
@@ -218,7 +240,7 @@ class ResUNetBN2C(nn.Module):
         no = lambda k: k**self.dim  # noqa: E731
         out_s1 = SparseConvLayer(
             CH[1], self.conv1_kernel_size, num_offsets=no(self.conv1_kernel_size),
-            compute_dtype=cdt, name="conv1",
+            compute_dtype=cdt, ones_input=self.ones_input, name="conv1",
         )(x.feats, v1, km1_c1)
         out_s1 = SparseBatchNorm(bm, name="norm1")(out_s1, v1, train)
         out_s1 = BasicBlockBN(CH[1], bm, no(3), compute_dtype=cdt, name="block1")(out_s1, v1, km1, train)

@@ -14,14 +14,16 @@ full `.t7` and an FCGF-compatible `.pth`). Key layout (misc/fcgf.py:229-798):
 
 This module maps that layout onto models.fcgf.ResUNetBN2C's flax tree so a
 published checkpoint can be benchmarked without a 400-epoch retrain
-(SURVEY.md §7 step 7). The only ambiguity is ME's kernel-offset enumeration
-order, which cannot be executed here (MinkowskiEngine is CUDA-only):
-`offset_order` selects between x-fastest ("xyz", ME 0.5's RegionIterator
-increments the first coordinate innermost) and z-fastest ("zyx", this
-repo's `kernel_offsets` order); `transpose_flip` optionally reverses the
-offset axis of the *_tr kernels (transpose convs gather with negated
-offsets in some ME versions). `validate_port` reports per-layer shape/stat
-agreement so the right combination is a 4-way A/B check on one real pair.
+(SURVEY.md §7 step 7). ME's kernel-offset enumeration conventions are
+pinned NUMERICALLY by the dense ME-semantics oracle
+(`models/me_oracle.py` + `tests/test_me_oracle.py`): ME 0.5's
+RegionIterator increments coordinate axis 0 innermost (`offset_order`
+"xyz"), and transpose convs apply weight j to the input at
+`out_coord - off_j` — the reverse of this repo's enumeration — so *_tr
+kernels are ported with `transpose_flip=True`. `validate_port`
+additionally replays every ported conv kernel through BOTH the repo
+sparse-conv engine and the oracle on a toy coordinate set and compares
+outputs numerically.
 """
 from __future__ import annotations
 
@@ -99,7 +101,7 @@ def port_fcgf_state(
     conv1_kernel_size: int = 5,
     dim: int = 3,
     offset_order: str = "xyz",
-    transpose_flip: bool = False,
+    transpose_flip: bool = True,
 ) -> dict:
     """torch state_dict -> flax variables {'params': ..., 'batch_stats': ...}.
 
@@ -149,13 +151,22 @@ def port_fcgf_state(
     return {"params": params, "batch_stats": stats}
 
 
-def validate_port(variables: dict, model) -> list[str]:
-    """Shape-check the ported tree against a freshly-initialized model.
+def validate_port(
+    variables: dict,
+    model,
+    state: Dict[str, np.ndarray] | None = None,
+    transpose_flip: bool = True,
+    atol: float = 1e-4,
+) -> list[str]:
+    """Validate the ported tree structurally AND numerically.
 
-    Returns a list of mismatch descriptions (empty = structurally valid).
-    Numeric layer-by-layer validation additionally needs one reference
-    forward on real data (run the 4 offset_order/transpose_flip combinations
-    and compare recall — port_fcgf module docstring).
+    Structural pass: every leaf of a freshly-initialized model exists in the
+    ported tree with the same shape. Numeric pass (when the original torch
+    `state` is given): every K>1 conv kernel in `state` is replayed through
+    the repo sparse-conv engine (with the ported weights) and through the
+    dense ME-semantics oracle (`me_oracle`, with the original weights) on a
+    toy coordinate set; outputs must agree to `atol`. Returns a list of
+    mismatch descriptions (empty = valid).
     """
     import jax
     import jax.numpy as jnp
@@ -187,4 +198,54 @@ def validate_port(variables: dict, model) -> list[str]:
     for key in flat_got:
         if key not in flat_ref:
             problems.append(f"unexpected {key}")
+
+    if state is None or problems:
+        return problems
+
+    from ..sparse.conv import sparse_conv, sparse_conv_transpose
+    from ..sparse.tensor import downsample_coords
+    from .me_oracle import me_conv_dense, me_conv_transpose_dense
+
+    rng = np.random.default_rng(0)
+    toy = np.asarray(coords)
+    n = len(toy)
+
+    def repo_tensor(feats, stride=1, c=None, v=None):
+        return SparseTensor(
+            coords if c is None else c,
+            jnp.asarray(feats),
+            jnp.ones((cap,), bool) if v is None else v,
+            stride,
+        )
+
+    for me_name, w in state.items():
+        if not me_name.endswith(".kernel") or w.ndim != 3:
+            continue
+        j, cin, _ = w.shape
+        k = round(j ** (1.0 / 3))
+        if k**3 != j:
+            continue
+        feats = rng.standard_normal((n, cin)).astype(np.float32)
+        is_tr = ".conv" not in me_name and me_name.endswith("_tr.kernel")
+        if is_tr:
+            ported = jnp.asarray(_conv_kernel(w, j, 3, "xyz", transpose_flip))
+            c2, v2 = downsample_coords(coords, jnp.ones((cap,), bool), 1, cap)
+            n2 = int(np.asarray(v2).sum())
+            f2 = np.zeros((cap, cin), np.float32)
+            f2[:n2] = feats[:n2]
+            got = sparse_conv_transpose(
+                repo_tensor(f2, 2, c2, v2), ported, k,
+                out_coords=coords, out_valid=jnp.ones((cap,), bool),
+                out_stride=1,
+            )
+            want = me_conv_transpose_dense(
+                np.asarray(c2)[:n2], feats[:n2], toy, w, k, units=1
+            )
+        else:
+            ported = jnp.asarray(_conv_kernel(w, j, 3, "xyz", False))
+            got = sparse_conv(repo_tensor(feats), ported, k)
+            want = me_conv_dense(toy, feats, toy, w, k, units=1)
+        err = float(np.abs(np.asarray(got.feats)[: len(want)] - want).max())
+        if err > atol:
+            problems.append(f"numeric {me_name}: max err {err:.2e}")
     return problems

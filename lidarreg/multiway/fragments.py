@@ -111,7 +111,11 @@ def _cholesky_solve6(A, b):
 def _normals_from_depth(depth: jnp.ndarray, K: CameraIntrinsic):
     """Per-pixel normals via cross products of forward differences."""
     h, w = depth.shape
-    pts, _ = depth_to_points(depth, K, max_depth=jnp.inf)
+    # grazing-ray renders can carry ~1e9 sentinel depths; unclipped they
+    # overflow the f32 cross product to inf and the normalization to NaN,
+    # which 0-weights cannot remove downstream (0/NaN == NaN)
+    pts, _ = depth_to_points(jnp.clip(depth, 0.0, 1e4), K,
+                             max_depth=jnp.inf)
     P = pts.reshape(h, w, 3)
     dx = jnp.roll(P, -1, axis=1) - P
     dy = jnp.roll(P, -1, axis=0) - P
@@ -192,12 +196,17 @@ def rgbd_odometry(
             & coherent
             & (jnp.abs(p[:, 2] - q[:, 2]) < max_depth_diff)
         )
+        # double-where: rejected pixels can carry non-finite normals and
+        # residuals (blended sentinel depths); 0 * NaN stays NaN in the
+        # normal-equation sums, so zero them under the gate first
+        nrm = jnp.where(ok[:, None], nrm, 0.0)
         r = jnp.sum((p - q) * nrm, axis=-1)               # point-to-plane
+        r = jnp.where(ok, r, 0.0)
         # Geman-McClure IRLS: boundary pixels whose association flips at
         # depth discontinuities carry large residuals and garbage normals;
         # robust downweighting keeps them from steering the solve
         delta = 0.1 * max_depth_diff
-        w = ok.astype(jnp.float32) / (1.0 + (r / delta) ** 2)
+        w = jnp.where(ok, 1.0 / (1.0 + (r / delta) ** 2), 0.0)
         J = jnp.concatenate([jnp.cross(p, nrm), nrm], axis=-1)  # [N, 6]
         A = jnp.einsum("ni,nj->ij", J * w[:, None], J, precision="highest")
         b = jnp.einsum("ni,n->i", J * w[:, None], r, precision="highest")
@@ -328,6 +337,11 @@ def make_fragment(
         ok, T, info = rgbd_odometry(depths_j[s], depths_j[s + 1], K,
                                     max_depth=max_depth)
         T = np.asarray(T)          # T_{s+1 <- s}
+        info = np.asarray(info)
+        if not (bool(ok) and np.isfinite(T).all() and np.isfinite(info).all()):
+            # reference fallback: failed odometry contributes an identity
+            # edge (make_fragments.py register_one_rgbd_pair)
+            T, info = np.eye(4), np.eye(6)
         odo = T @ odo              # T_{s+1 <- 0}
         nodes.append(np.linalg.inv(odo))
         # posegraph edges carry T_{i <- j} (edge residual log(T^-1 Xi^-1 Xj))

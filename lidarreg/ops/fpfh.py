@@ -55,7 +55,7 @@ def fpfh(
     n = pts.shape[0]
     if table_size is None:
         table_size = 1
-        while table_size < 2 * n:
+        while table_size < 8 * n:
             table_size *= 2
     normals = estimate_normals(pts, valid, radius=radius)
     table = build_grid(pts, valid, radius, table_size)

@@ -69,7 +69,7 @@ def icp_point_to_point(
     n_tgt = tgt.shape[0]
     if table_size is None:
         table_size = 1
-        while table_size < 2 * n_tgt:
+        while table_size < 8 * n_tgt:
             table_size *= 2
     cell = max_corr_dist * 0.75
     table = build_grid(tgt, tgt_valid, cell, table_size)

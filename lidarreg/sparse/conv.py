@@ -6,8 +6,10 @@ Performance structure (v5e-profiled):
   * the KERNEL MAP (neighbor row index per kernel offset) is computed once
     per (coordinate set, offset pattern) and shared by every conv at that
     U-Net level — ME's coordinate manager caches kernel maps the same way;
-  * hash lookups early-exit through a `lax.while_loop` (average <2 probe
-    rounds at 25% table load instead of the fixed worst case);
+  * hash lookups are SINGLE-GATHER (bucketized table with per-bucket
+    overflow flags — sparse/hashtable.py), and stride-1 same-set maps pay
+    for only half their offsets (symmetric-stencil mirror,
+    kernel_map_stride1);
   * the conv itself is img2col: one [J, Vo, Cin] neighbor gather + a single
     (J*Cin) x Cout contraction that XLA tiles straight onto the MXU —
     features in bf16-accumulate-f32 (weights/features are O(1) normalized;
@@ -39,8 +41,9 @@ class KernelMap(NamedTuple):
     hit: jnp.ndarray   # [J, Vo] bool  — neighbor exists and is valid
 
 
-def table_for(x: SparseTensor, table_factor: int = 4) -> HashTable:
-    # per-side cuckoo size; total table = 2 * size (combined load <= 12.5%)
+def table_for(x: SparseTensor, table_factor: int = 16) -> HashTable:
+    # per-side entries; factor 16 => bucket load 0.25 at 4 lanes, so the
+    # single-probe lookup's side-2 retry path fires ~never (hashtable.py)
     size = 1
     while size < table_factor * x.capacity:
         size *= 2
@@ -62,6 +65,52 @@ def kernel_map(
     nb_safe = jnp.where(hit, nb, 0)
     hit = hit & in_valid[nb_safe]
     return KernelMap(nb_safe, hit)
+
+
+def kernel_map_stride1(
+    in_table: HashTable,
+    valid: jnp.ndarray,
+    coords: jnp.ndarray,
+    offsets: jnp.ndarray,
+) -> KernelMap:
+    """Stride-1 (same coordinate set) kernel map at HALF the lookup cost.
+
+    A hypercubic stencil is symmetric: offsets[J-1-j] == -offsets[j] and the
+    center offset is zero. On a shared in/out coordinate set the pair
+    (j, out=o, in=i) exists iff (J-1-j, out=i, in=o) does, so only the first
+    J//2 offsets need hash lookups; the mirror half is derived by ONE flat
+    set-scatter (~free on v5e vs ~8.75 ns/row gathers — CLAUDE.md), and the
+    center row is the identity map. Exact — not an approximation (voxel
+    coords are unique, so the scatter has no index conflicts).
+    """
+    J = offsets.shape[0]
+    V = coords.shape[0]
+    assert J % 2 == 1, "hypercube stencils have odd offset counts"
+    half = J // 2
+    nb_half = lookup(in_table, coords[None, :, :] + offsets[:half, None, :])
+    hit_half = (nb_half >= 0) & valid[None, :]
+    nb_safe = jnp.where(hit_half, nb_half, 0)
+    hit_half = hit_half & valid[nb_safe]
+
+    # mirror half via ONE flat scatter: nb[J-1-j, i] = o where nb[j, o] = i.
+    # Scatters cost ~as much per element as gathers at this scale, so nb and
+    # hit are packed into a single int32 scatter (init -1; hit = val >= 0).
+    rows = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (half, V))
+    j_base = jnp.arange(half, dtype=jnp.int32)[:, None] * V
+    tgt = jnp.where(hit_half, j_base + nb_safe, half * V).ravel()
+    packed = (
+        jnp.full((half * V,), -1, jnp.int32)
+        .at[tgt].set(rows.ravel(), mode="drop")
+        .reshape(half, V)
+    )
+    hit_m = packed >= 0
+    nb_m = jnp.maximum(packed, 0)
+
+    nb = jnp.concatenate(
+        [nb_safe, jnp.arange(V, dtype=jnp.int32)[None], nb_m[::-1]]
+    )
+    hit = jnp.concatenate([hit_half, valid[None], hit_m[::-1]])
+    return KernelMap(nb, hit)
 
 
 def invert_kernel_map(down: KernelMap, n_fine: int) -> KernelMap:

@@ -3,26 +3,24 @@
 Replaces MinkowskiEngine's C++/CUDA coordinate manager (kernel-map
 construction for sparse convolution — SURVEY.md §2a row 1).
 
-Design: 2-choice hashing into buckets of LANES=4 entries per side, stored as
-a packed [2T, LANES*(D+1)] int32 table. LOOKUP IS EXACTLY TWO GATHERS — one
-bucket row per hash — and a lane-wise compare (TPU gather cost is per-row,
-not per-byte, so a 4-lane 64-byte row costs the same as a 16-byte one;
-v5e-profiled). INSERTION IS 2*LANES = 8 FIXED set-scatter rounds with no
-eviction and no `lax.while_loop`: each lane round claims one key per bucket
-(XLA set-scatter, deterministic last-wins on duplicate indices), so
-collisions and duplicate coords drain across lanes. The previous random-walk
-cuckoo insert needed a data-dependent while_loop (up to 96 sequential
-scatter rounds) that cost ~600 ms of the FCGF forward; this build is ~20
-sequential ops, all on the cheap scatter path (combiner scatters like
-.at[].min cost ~4 ms each on v5e and are avoided).
+Design (v4, round-3 single-probe): two-choice bucketized hashing where
+LOOKUP IS ONE GATHER in the common case. Round 2's lookup always gathered
+both sides; v5e profiling (scripts/pallas_gather_probe.py) showed gathers
+cost ~5-9 ns per ROW regardless of row width, so the second gather was
+pure waste for the ~100% of queries side 1 can answer:
 
-Load math (per-side T buckets = table_size/4 >= capacity at the default
-table_factor=4): side-1 bucket load lambda <= 1.0, so expected overflow
-past 4 lanes is ~0.5% of keys; those fall through to side 2 (lambda ~ 0.005)
-where the residual non-placement probability is < 1e-9. `placed` means
-"findable by lookup": duplicate coords share ONE lane (grid-NN tables insert
-many points per cell; one survives, as the previous cuckoo did), and lookup
-deterministically resolves to side-1's lowest occupied lane.
+  * per-side buckets hold `lanes` (default 4) entries packed in one
+    [lanes*(D+1)]-int32 row; entries are (coords..., row);
+  * keys that overflow their side-1 bucket land on side 2 AND set bit 30
+    of the side-1 bucket's last-lane row value ("overflow flag"). A query
+    that misses an UNflagged bucket is definitively absent — no second
+    gather. At the default table_factor-4 sizing the side-1 bucket load
+    is lambda = lanes/4, so ~0.4% of buckets are flagged (lanes=4);
+  * queries that miss a FLAGGED bucket are compacted (cumsum) into a
+    fixed-size retry pool (~1.5% of the batch) that probes side 2 —
+    lookup stays exact;
+  * insertion is 2*lanes fixed set-scatter claim rounds (see build_table:
+    sort-based building is compile-pathological through the TPU tunnel).
 """
 from __future__ import annotations
 
@@ -30,13 +28,19 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-LANES = 4
-_EMPTY = jnp.int32(2**31 - 1)
+_ROW_MASK = jnp.int32((1 << 30) - 1)
+_EMPTY = jnp.int32((1 << 30) - 1)   # row-field sentinel (capacities << 2^30)
+_FLAG = jnp.int32(1 << 30)          # bucket-overflow flag (last lane only)
 
 # Two independent per-dimension spatial-hash mixes (Teschner et al. primes
 # extended to 6-D for DGR's 6-D inlier-net coordinates + Knuth constants).
 _P1 = (73856093, 19349669, 83492791, 49979687, 86028157, 7367287)
 _P2 = (-1640531527, 97523885, 51964263, 39916801, 15485863, 104729)
+
+
+def _table_lanes(table, d: int) -> int:
+    """Bucket lane count from the stored row width (static)."""
+    return table.table.shape[1] // (d + 1)
 
 
 class HashTable(NamedTuple):
@@ -70,24 +74,38 @@ def _h2(c, mask):
     return _fmix(_mix(c, _P2) ^ jnp.int32(0x5BD1E995)) & mask
 
 
-def build_table(coords: jnp.ndarray, valid: jnp.ndarray, table_size: int):
+def build_table(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    table_size: int,
+    lanes: int = 4,
+):
     """Insert valid rows of coords [V, D] (D <= 6).
 
     `table_size` is the per-side ENTRY count (2^k; callers size it >= 4x the
-    key count) — per-side buckets T = table_size / LANES.
+    key count) — per-side buckets T = table_size / lanes.
 
-    Winner detection per (side, lane) round is a plain set-scatter followed
-    by a gather-back (XLA scatter is deterministic: with duplicate indices
-    the last update wins), NOT a min-combiner scatter — combiner scatters
-    cost ~4 ms each on v5e while set-scatters are ~free. Entries materialize
-    once at the end through flat 1-D scatters.
+    INSERTION IS 2*lanes FIXED set-scatter claim rounds (each round claims
+    one key per bucket; XLA set-scatter is deterministic last-wins, so
+    collisions and duplicate coords drain across rounds) — deliberately
+    SORT-FREE: a sort-based build runs marginally faster but every
+    `lax.sort` instance costs minutes of XLA TPU compile through the
+    remote tunnel, and a U-Net forward holds four builds (round-3
+    post-mortem: the sort-based build wedged the compile service).
+    Keys that overflow side 1 land on side 2 and FLAG their side-1 bucket
+    (bit 30 of the last lane's row value) — that flag is what lets
+    `lookup` resolve most queries with a single gather.
 
-    Returns (HashTable, placed [V] bool).
+    Returns (HashTable, placed [V] bool). `placed` means "findable by
+    lookup": duplicate coords share ONE lane (grid-NN tables insert many
+    points per cell; one survives, as in round 2).
     """
     assert table_size & (table_size - 1) == 0, "table_size must be 2^k"
-    assert table_size >= LANES
     v, d = coords.shape
-    T = table_size // LANES
+    assert lanes & (lanes - 1) == 0, "lanes must be 2^k"
+    assert table_size >= lanes, (table_size, lanes)
+    stride = d + 1
+    T = table_size // lanes
     mask = jnp.int32(T - 1)
     idx = jnp.arange(v, dtype=jnp.int32)
     buckets = (_h1(coords, mask), _h2(coords, mask))
@@ -95,19 +113,26 @@ def build_table(coords: jnp.ndarray, valid: jnp.ndarray, table_size: int):
     unplaced = valid
     inserts = jnp.zeros((v,), bool)            # keys that own a lane
     slot = jnp.zeros((v,), jnp.int32)          # flat lane slot per insert
+    lane_of = jnp.zeros((v,), jnp.int32)       # lane index within bucket
+    flags = jnp.zeros((T,), bool)              # side-1 bucket overflowed
     for side in range(2):
+        if side == 1:
+            # everything still unplaced overflowed its side-1 bucket
+            fb = jnp.where(unplaced, buckets[0], T)
+            flags = flags.at[fb].set(True, mode="drop")
         row = side * T + buckets[side]
-        for lane in range(LANES):
+        for lane in range(lanes):
             wb = jnp.where(unplaced, row, 2 * T)
             claim = jnp.full((2 * T,), -1, jnp.int32).at[wb].set(
                 idx, mode="drop"
             )
             winner = claim[row]
             win = unplaced & (winner == idx)
-            slot = jnp.where(win, row * LANES + lane, slot)
+            slot = jnp.where(win, row * lanes + lane, slot)
+            lane_of = jnp.where(win, lane, lane_of)
             inserts = inserts | win
             # a key whose coord was just claimed by a DUPLICATE is served by
-            # that lane too — without this, >LANES copies of one cell can
+            # that lane too — without this, >lanes copies of one cell can
             # monopolize every lane of a bucket and starve a colliding cell
             # (grid-NN tables insert many points per cell)
             dup_served = (
@@ -120,39 +145,106 @@ def build_table(coords: jnp.ndarray, valid: jnp.ndarray, table_size: int):
             unplaced = unplaced & ~dup_served   # dup_served includes win
     placed = valid & ~unplaced
 
-    # one-shot materialization: flat [2T * LANES * (D+1)] then reshape
-    stride = d + 1
-    flat = jnp.tile(
-        jnp.concatenate(
-            [jnp.zeros((d,), jnp.int32), jnp.full((1,), _EMPTY, jnp.int32)]
-        ),
-        2 * T * LANES,
+    # one-shot materialization: flat [2T * lanes * (D+1)] then reshape.
+    # Side-1 winners in the LAST lane of a flagged bucket carry the
+    # overflow flag in bit 30 of their row value.
+    on_side1 = slot < T * lanes
+    flagged = flags[buckets[0]]
+    rowval = idx | jnp.where(
+        inserts & on_side1 & (lane_of == lanes - 1) & flagged, _FLAG, 0
     )
-    base = jnp.where(inserts, slot * stride, 2 * T * LANES * stride)
+    pattern = jnp.concatenate(
+        [jnp.zeros((d,), jnp.int32), _EMPTY[None]]
+    )
+    flat = jnp.tile(pattern, 2 * T * lanes)
+    base = jnp.where(inserts, slot * stride, 2 * T * lanes * stride)
     for k in range(d):
         flat = flat.at[base + k].set(coords[:, k], mode="drop")
-    flat = flat.at[base + d].set(idx, mode="drop")
-    tab = flat.reshape(2 * T, LANES * stride)
+    flat = flat.at[base + d].set(rowval, mode="drop")
+    tab = flat.reshape(2 * T, lanes * stride)
     return HashTable(tab, mask), placed
 
 
-def lookup(table: HashTable, query: jnp.ndarray) -> jnp.ndarray:
+def _resolve(entries, query, lanes, d):
+    """Match query coords against a gathered bucket row. [-1 where absent]."""
+    ee = entries.reshape(entries.shape[:-1] + (lanes, d + 1))
+    rowval = ee[..., d] & _ROW_MASK
+    m = (
+        jnp.all(ee[..., :d] == query[..., None, :], axis=-1)
+        & (rowval != _EMPTY)
+    )
+    # build dedupes coords, so at most one lane matches
+    return jnp.max(jnp.where(m, rowval, -1), axis=-1)
+
+
+def lookup(
+    table: HashTable, query: jnp.ndarray, retry_capacity: int | None = None
+) -> jnp.ndarray:
     """Find row indices for query coords [..., D]; -1 where absent.
 
-    Exactly two packed gathers (one bucket row per hash side); lane hits
-    resolve to the LOWEST lane = smallest inserted original index.
+    ONE packed gather + a LANES-wide compare; queries that miss an
+    overflow-flagged bucket take an exact block-compacted side-2 retry
+    (default pool: 64 blocks of 1024 queries). SIZING CONTRACT: at the
+    table_factor-16 sizing `table_for` uses (bucket load 0.25), overflow
+    is ~1e-6 of buckets and the default pool is bottomless in practice;
+    tables built tighter than ~8x the key count (load >= 0.5) should pass
+    a larger `retry_capacity` or overflow queries past the pool resolve
+    as absent.
     """
     T = table.mask + 1
     d = query.shape[-1]
-    e1 = table.table[_h1(query, table.mask)]        # [..., LANES*(D+1)]
-    e2 = table.table[_h2(query, table.mask) + T]
-    out = jnp.full(query.shape[:-1], -1, jnp.int32)
-    for e in (e2, e1):
-        for lane in reversed(range(LANES)):
-            col = lane * (d + 1)
-            val = e[..., col + d]
-            hit = (val != _EMPTY) & jnp.all(
-                e[..., col:col + d] == query, axis=-1
-            )
-            out = jnp.where(hit, val, out)
-    return out
+    lanes = _table_lanes(table, d)
+    shape = query.shape[:-1]
+    q = query.reshape(-1, d)
+    nq = q.shape[0]
+
+    e1 = table.table[_h1(q, table.mask)]
+    out = _resolve(e1, q, lanes, d)
+    flag = (e1[:, lanes * (d + 1) - 1] & _FLAG) != 0
+    need2 = (out < 0) & flag
+
+    # TWO-LEVEL retry compaction: per-element compaction (cumsum + an
+    # nq-update scatter) costs ~as much as the probe gather it was meant to
+    # save (v5e round-3 profile). Retries are ~1e-6 of queries at the
+    # table_factor-16 sizing, so compact 1024-query BLOCKS instead: the
+    # bookkeeping shrinks to nq/1024-sized ops and the side-2 probe touches
+    # at most RB blocks.
+    B = 1024
+    nB = -(-nq // B)
+    pad = nB * B - nq
+    if retry_capacity is None:
+        # flagged-bucket queries are rare but SPREAD: a stencil batch of Q
+        # queries hits ~Q * flagged_frac (~1e-4) buckets across ~that many
+        # blocks, so the pool must scale with the batch (nB/8 blocks ~=
+        # 12.5% coverage = two orders of margin), floored at 64 blocks
+        retry_capacity = max(64, nB // 8) * B
+    RB = max(2, min(nB, -(-retry_capacity // B)))
+    q_pad = jnp.concatenate([q, jnp.zeros((pad, d), q.dtype)]) if pad else q
+    out_pad = (jnp.concatenate([out, jnp.full((pad,), -1, out.dtype)])
+               if pad else out)
+    need_pad = (jnp.concatenate([need2, jnp.zeros((pad,), bool)])
+                if pad else need2)
+    need_b = need_pad.reshape(nB, B)
+    block_any = jnp.any(need_b, axis=1)
+    posb = jnp.cumsum(block_any.astype(jnp.int32)) - 1
+    slotb = jnp.where(block_any & (posb < RB), posb, RB)
+    qb = jnp.zeros((RB + 1,), jnp.int32).at[slotb].set(
+        jnp.arange(nB, dtype=jnp.int32), mode="drop"
+    )[:RB]
+
+    q2 = q_pad.reshape(nB, B, d)[qb]                      # [RB, B, d]
+    e2 = table.table[_h2(q2, table.mask) + T]
+    row2 = _resolve(e2, q2, lanes, d)                     # [RB, B]
+    # a key lives on exactly one side, so "side-2 hit wins, else keep the
+    # side-1 answer" == the need2 merge — WITHOUT gathering bool rows
+    # (a fused [RB,B] PRED gather miscompiled on v5e, selecting row2
+    # everywhere; round-3 post-mortem)
+    merged = jnp.where(row2 >= 0, row2, out_pad.reshape(nB, B)[qb])
+    # write EVERY slot back to its block unconditionally: merged[i] is the
+    # identity-correct content for block qb[i] whatever slot i is, so
+    # duplicate targets all carry equal values and no out-of-bounds
+    # sentinel is needed. (A drop-mode scatter with duplicate OOB sentinel
+    # indices miscompiled on v5e — blocks 0..2 were corrupted while the
+    # same HLO inline with extra outputs was correct; round-3 post-mortem.)
+    out_pad = out_pad.reshape(nB, B).at[qb].set(merged)
+    return out_pad.reshape(-1)[:nq].reshape(shape)

@@ -21,6 +21,11 @@ def main(argv=None):
     ap.add_argument("--pointdsc_weights", type=str, default=None)
     ap.add_argument("--oanet_weights", type=str, default=None)
     ap.add_argument("--dgr_weights", type=str, default=None)
+    ap.add_argument("--features", type=str, default="surrogate",
+                    choices=["surrogate", "fcgf"],
+                    help="'fcgf' runs the matrix over the trained encoder's "
+                         "descriptors (the reference composition)")
+    ap.add_argument("--fcgf_weights", type=str, default=None)
     ap.add_argument("--algos", type=str, nargs="+",
                     default=["RANSAC", "GC_RANSAC", "TEASER", "PointDSC",
                              "OANet", "DGR"])
@@ -32,13 +37,15 @@ def main(argv=None):
     for algo in args.algos:
         argv_i = [
             "--dataset", args.dataset, "--algo", algo,
-            "--features", "surrogate", "--synthetic", "true",
+            "--features", args.features, "--synthetic", "true",
             "--phase", "validation",
             "--max_samples", str(args.pairs),
             "--iters", str(args.iters),
             "--capacity", str(args.capacity),
             "--outdir", f"outputs/matrix_{algo}",
         ]
+        if args.features == "fcgf" and args.fcgf_weights:
+            argv_i += ["--fcgf_weights_file", args.fcgf_weights]
         if algo == "PointDSC" and args.pointdsc_weights:
             argv_i += ["--pointdsc_weights_file", args.pointdsc_weights]
         if algo == "OANet" and args.oanet_weights:

@@ -140,3 +140,32 @@ class TestPairBatchedForward:
         ):
             cos = np.sum(np.asarray(got)[m] * np.asarray(want)[m], axis=1)
             assert cos.min() > 0.9999, cos.min()
+
+
+class TestOnesInputFastPath:
+    def test_conv1_matmul_path_matches_gather_path(self, rng):
+        """ones_input=True (hit-mask matmul) == ones_input=False (gather)."""
+        import jax
+        from lidarreg.models.fcgf import ResUNetBN2C
+        from lidarreg.sparse.tensor import SparseTensor
+
+        coords = np.unique(
+            rng.integers(-25, 25, (700, 3)).astype(np.int32), axis=0
+        )
+        cap = 1024
+        n = len(coords)
+        full = np.concatenate(
+            [coords, np.full((cap - n, 3), 2**20, np.int32)]
+        )
+        valid = jnp.asarray(np.arange(cap) < n)
+        feats = jnp.ones((cap, 1), jnp.float32) * valid[:, None]
+        x = SparseTensor(jnp.asarray(full), feats, valid, 1)
+
+        fast = ResUNetBN2C(compute_dtype=None, ones_input=True)
+        slow = ResUNetBN2C(compute_dtype=None, ones_input=False)
+        params = fast.init(jax.random.PRNGKey(0), x, train=False)
+        out_fast = fast.apply(params, x, train=False).feats
+        out_slow = slow.apply(params, x, train=False).feats
+        np.testing.assert_allclose(
+            np.asarray(out_fast), np.asarray(out_slow), atol=2e-5
+        )

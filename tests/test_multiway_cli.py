@@ -1,0 +1,30 @@
+"""End-to-end multiway CLI smoke test (VERDICT r2 item 6).
+
+Runs the full chain — synthetic depth sequence -> fragments (odometry +
+posegraph + TSDF) -> FPFH/RANSAC pairwise fragment registration ->
+global pose-graph optimization -> ATE vs analytic GT — on CPU.
+"""
+import os
+
+import numpy as np
+
+
+def test_synthetic_multiway_pipeline(tmp_path):
+    from lidarreg.cli.multiway import main
+
+    nodes, ate = main([
+        "--synthetic", "30",
+        "--frames_per_fragment", "10",
+        "--fragment_points", "1024",
+        "--ransac_iters", "2048",
+        "--out", str(tmp_path / "mw"),
+    ])
+    assert nodes.shape == (3, 4, 4)
+    # TSDF voxel is 3.1 cm; fragment clouds carry that quantization, so the
+    # pipeline floor is a few cm of ATE on 12 cm fragment spacing
+    assert ate is not None and ate < 0.08, f"ATE {ate} m"
+    assert os.path.exists(str(tmp_path / "mw" / "trajectory.log"))
+    # rotations stay orthonormal through the optimization
+    for T in nodes:
+        np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3),
+                                   atol=1e-3)

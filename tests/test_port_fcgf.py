@@ -90,6 +90,22 @@ class TestPort:
         problems = validate_port(variables, ResUNetBN2C())
         assert problems == [], problems[:10]
 
+    def test_numeric_validation_against_me_oracle(self, rng):
+        """Every ported K>1 conv kernel reproduces the dense ME oracle."""
+        sd = fake_state(rng)
+        variables = port_fcgf_state(sd)
+        problems = validate_port(variables, ResUNetBN2C(), state=sd)
+        assert problems == [], problems[:10]
+
+    def test_numeric_validation_catches_wrong_flip(self, rng):
+        sd = fake_state(rng)
+        variables = port_fcgf_state(sd, transpose_flip=False)
+        problems = validate_port(
+            variables, ResUNetBN2C(), state=sd, transpose_flip=False
+        )
+        assert any(p.startswith("numeric conv") and "_tr" in p
+                   for p in problems), problems[:10]
+
     def test_values_land(self, rng):
         sd = fake_state(rng)
         variables = port_fcgf_state(sd, offset_order="zyx")

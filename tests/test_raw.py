@@ -418,3 +418,135 @@ class TestGensetOverRawKITTI:
         assert len(train) == len(out["train"]) == 4
         # motions in the written set map src into tgt frame: -x shift
         assert np.all(np.abs(train.motions[:, 0, 3]) > 1.0)
+
+
+class TestApolloPartialArchive:
+    """Round-3 hardening: lazy discovery + O(1) poses + clear errors."""
+
+    def test_missing_session_lists_but_errors_on_access(self, tmp_path):
+        root = str(tmp_path)
+        write_apollo_tree(root)   # creates sessions 18 (train) and 20 (test)
+        ds = ApolloSouthbayFull("test", root)
+        # only the present test session lists
+        assert ds.sessions_list == [20]
+        # a key absent from the archive raises a clear error when touched
+        with pytest.raises(FileNotFoundError, match="partial archive"):
+            ds.load_PC(21, 1)
+        with pytest.raises(FileNotFoundError, match="partial archive"):
+            ds.get_relative_motion(0, 1, 2)
+
+    def test_missing_pose_frame_is_a_keyerror(self, tmp_path):
+        root = str(tmp_path)
+        write_apollo_tree(root, n_frames=3)
+        ds = ApolloSouthbayFull("test", root)
+        with pytest.raises(KeyError, match="no pose row for frame 99"):
+            ds.get_relative_motion(20, 1, 99)
+
+    def test_construction_does_not_walk(self, tmp_path, monkeypatch):
+        import lidarreg.data.raw as raw
+
+        def boom(*a, **k):
+            raise AssertionError("os.walk during __init__")
+
+        monkeypatch.setattr(raw.os, "walk", boom)
+        ApolloSouthbayFull("test", str(tmp_path))  # must not raise
+
+    def test_sparse_pose_table_o1_lookup(self, tmp_path):
+        """gt_poses.txt rows keyed by frame id; gaps are fine."""
+        root = str(tmp_path)
+        poses, _ = write_apollo_tree(root, n_frames=3)
+        # rewrite session 20's pose file with a gap (frames 1 and 3 only)
+        sdir = os.path.join(root, "TestData/HighWay237/2018-10-12")
+        gt = np.loadtxt(os.path.join(sdir, "poses", "gt_poses.txt"), ndmin=2)
+        np.savetxt(os.path.join(sdir, "poses", "gt_poses.txt"), gt[[0, 2]])
+        ds = ApolloSouthbayFull("test", root)
+        want = np.linalg.inv(poses[(20, 3)]) @ poses[(20, 1)]
+        np.testing.assert_allclose(
+            ds.get_relative_motion(20, 1, 3), want, atol=1e-9
+        )
+        with pytest.raises(KeyError, match="no pose row for frame 2"):
+            ds.get_relative_motion(20, 1, 2)
+
+
+class TestGensetOverRawNuScenes:
+    def test_balanced_set_from_fake_devkit_tree(self, tmp_path):
+        """NuScenes mirror of TestGensetOverRawKITTI: a consistent world
+        sampled per-frame through the ego-pose/calibrated-sensor chain."""
+        from lidarreg.genset.generator import BalancedSetGenerator, GensetConfig
+        from lidarreg.data.balanced import read_balanced_set
+
+        root = str(tmp_path / "nusc")
+        json_dir = os.path.join(root, "v1.0-trainval")
+        os.makedirs(json_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "sweeps"), exist_ok=True)
+        rng = np.random.default_rng(7)
+        world = np.c_[rng.uniform(0, 150, (30000, 1)),
+                      rng.uniform(-20, 20, (30000, 1)),
+                      rng.uniform(0, 5, (30000, 1))].astype(np.float32)
+        cs_T = make_pose(10.0, [0.5, 0.1, 1.2])     # sensor -> car
+        csq = matrix_to_quat_wxyz(cs_T[:3, :3])
+        tables = {k: [] for k in ("scene", "sample", "sample_data",
+                                  "ego_pose", "calibrated_sensor", "log")}
+        tables["calibrated_sensor"].append({
+            "token": "cs0", "translation": list(cs_T[:3, 3]),
+            "rotation": list(csq),
+        })
+        n = 25
+        for si in range(2):
+            tables["log"].append(
+                {"token": f"log{si}", "location": "boston-seaport"}
+            )
+            sd_toks = [f"sd{si}_{i}" for i in range(n)]
+            tables["scene"].append({
+                "token": f"scene{si}", "name": f"scene-{si:04d}",
+                "log_token": f"log{si}",
+                "first_sample_token": f"samp{si}",
+            })
+            tables["sample"].append({
+                "token": f"samp{si}", "data": {"LIDAR_TOP": sd_toks[0]},
+            })
+            for i, tok in enumerate(sd_toks):
+                pose = make_pose(0.0, [3.0 * i, 0.0, 0.0])   # car -> world
+                pq = matrix_to_quat_wxyz(pose[:3, :3])
+                tables["ego_pose"].append({
+                    "token": f"ep{si}_{i}",
+                    "translation": list(pose[:3, 3]),
+                    "rotation": list(pq),
+                })
+                m = np.abs(world[:, 0] - 3.0 * i) < 25
+                car_local = (world[m] - pose[:3, 3]) @ pose[:3, :3]
+                sensor = (car_local - cs_T[:3, 3]) @ cs_T[:3, :3]
+                blob = np.hstack([
+                    sensor.astype(np.float32),
+                    np.zeros((len(sensor), 2), np.float32),
+                ])
+                fname = f"sweeps/{si}_{i}.pcd.bin"
+                blob.tofile(os.path.join(root, fname))
+                tables["sample_data"].append({
+                    "token": tok,
+                    "next": sd_toks[i + 1] if i + 1 < n else "",
+                    "ego_pose_token": f"ep{si}_{i}",
+                    "calibrated_sensor_token": "cs0",
+                    "filename": fname,
+                })
+        for k, rows in tables.items():
+            with open(os.path.join(json_dir, f"{k}.json"), "w") as f:
+                json.dump(rows, f)
+
+        ds = NuScenesFull("boston", "train", root,
+                          splits={"train": ["scene-0000", "scene-0001"]})
+        cfg = GensetConfig(
+            sizes=(4, 2, 4), round_to_multiple=1, source_stride=2,
+            max_spacing=25, num_workers=1, seed=0,
+            cache_dir=str(tmp_path / "cache"),
+            output_dir=str(tmp_path / "out"),
+        )
+        gen = BalancedSetGenerator(ds, cfg)
+        cands = gen.extract_all_candidates()
+        assert len(cands) >= 10
+        out = gen.create_set()
+        train_path = os.path.join(cfg.output_dir, ds.name, "train.txt")
+        assert os.path.exists(train_path)
+        train = read_balanced_set(train_path)
+        assert len(train) == len(out["train"]) == 4
+        assert np.all(np.abs(train.motions[:, 0, 3]) > 1.0)

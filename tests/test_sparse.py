@@ -195,10 +195,12 @@ def feats_join(c, f, v):  # helper kept for clarity in stride-2 test
 
 class TestCuckooAtScale:
     def test_no_unplaced_keys_at_fcgf_load(self, rng):
-        # regression guard: parallel cuckoo insertion must place EVERY key
-        # at the load factors the FCGF levels use (<= 12.5%); the affine-rank
-        # stall bug left ~0.1% unplaced (silently zeroed features)
-        for n, T in ((32768, 131072), (120000, 524288)):
+        # regression guard: claim-round insertion must place EVERY key at
+        # the sizing the FCGF levels use (table_factor 16 -> bucket load
+        # 0.25), and the single-probe lookup's default retry pool must
+        # resolve them all. Tighter loads need an explicit retry_capacity
+        # (TestOverflowRetryPath covers that contract).
+        for n, T in ((32768, 524288), (120000, 2097152)):
             coords = np.unique(
                 rng.integers(-2000, 2000, size=(n, 3)).astype(np.int32), axis=0
             )
@@ -241,3 +243,113 @@ class TestInvertKernelMap:
         nd = np.asarray(up_direct.nb)
         nv = np.asarray(up_derived.nb)
         np.testing.assert_array_equal(nd[hd], nv[hd])
+
+
+class TestSymmetricStride1Map:
+    """kernel_map_stride1 (half-lookup + mirror scatter) == kernel_map."""
+
+    def _coords(self, rng, n=400, cap=512):
+        coords = np.unique(
+            rng.integers(-20, 20, size=(n, 3)).astype(np.int32), axis=0
+        )
+        v = len(coords)
+        full = np.concatenate(
+            [coords, np.full((cap - v, 3), 2**20, np.int32)]
+        )
+        valid = np.arange(cap) < v
+        return jnp.asarray(full), jnp.asarray(valid)
+
+    def test_matches_general_map(self, rng):
+        from lidarreg.sparse.conv import (
+            kernel_map,
+            kernel_map_stride1,
+            table_for,
+        )
+
+        for k, seed in ((3, 0), (5, 1)):
+            coords, valid = self._coords(np.random.default_rng(seed))
+            x = SparseTensor(
+                coords, jnp.zeros((coords.shape[0], 1)), valid, 1
+            )
+            table = table_for(x)
+            offs = kernel_offsets(k, 1, 3)
+            ref = kernel_map(table, valid, coords, valid, offs)
+            fast = kernel_map_stride1(table, valid, coords, offs)
+            np.testing.assert_array_equal(
+                np.asarray(ref.hit), np.asarray(fast.hit)
+            )
+            # nb only meaningful where hit
+            np.testing.assert_array_equal(
+                np.where(np.asarray(ref.hit), np.asarray(ref.nb), -1),
+                np.where(np.asarray(fast.hit), np.asarray(fast.nb), -1),
+            )
+
+    def test_dim6(self, rng):
+        from lidarreg.sparse.conv import (
+            kernel_map,
+            kernel_map_stride1,
+            table_for,
+        )
+
+        coords = np.unique(
+            rng.integers(-3, 3, size=(200, 6)).astype(np.int32), axis=0
+        )
+        cap = 256
+        v = len(coords)
+        full = np.concatenate(
+            [coords, np.full((cap - v, 6), 2**20, np.int32)]
+        )
+        valid = jnp.asarray(np.arange(cap) < v)
+        coords = jnp.asarray(full)
+        x = SparseTensor(coords, jnp.zeros((cap, 1)), valid, 1)
+        table = table_for(x)
+        offs = kernel_offsets(3, 1, 6)
+        ref = kernel_map(table, valid, coords, valid, offs)
+        fast = kernel_map_stride1(table, valid, coords, offs)
+        np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(fast.hit))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(ref.hit), np.asarray(ref.nb), -1),
+            np.where(np.asarray(fast.hit), np.asarray(fast.nb), -1),
+        )
+
+
+class TestOverflowRetryPath:
+    """Force side-1 bucket overflow so lookups exercise flag + retry."""
+
+    def test_tight_table_still_exact(self, rng):
+        from lidarreg.sparse.hashtable import build_table, lookup
+
+        coords = np.unique(
+            rng.integers(-100, 100, size=(900, 3)).astype(np.int32), axis=0
+        )
+        v = len(coords)
+        valid = np.ones(v, bool)
+        # table_size == 1024 entries for ~900 keys: lambda ~ 3.5 per 4-lane
+        # bucket -> a large fraction of buckets overflow to side 2
+        table, placed = build_table(
+            jnp.asarray(coords), jnp.asarray(valid), 1024
+        )
+        assert bool(np.asarray(placed).all()), "keys lost at high load"
+        rows = np.asarray(lookup(table, jnp.asarray(coords)))
+        np.testing.assert_array_equal(rows, np.arange(v))
+        # absent queries stay absent
+        absent = coords + np.asarray([1000, 0, 0], np.int32)
+        rows_a = np.asarray(lookup(table, jnp.asarray(absent)))
+        assert (rows_a == -1).all()
+
+    def test_retry_pool_capacity_respected(self, rng):
+        from lidarreg.sparse.hashtable import build_table, lookup
+
+        coords = np.unique(
+            rng.integers(-50, 50, size=(500, 3)).astype(np.int32), axis=0
+        )
+        v = len(coords)
+        table, placed = build_table(
+            jnp.asarray(coords), jnp.asarray(np.ones(v, bool)), 512
+        )
+        assert bool(np.asarray(placed).all())
+        # generous explicit retry capacity: still exact
+        rows = np.asarray(
+            lookup(table, jnp.asarray(coords), retry_capacity=v)
+        )
+        np.testing.assert_array_equal(rows, np.arange(v))

@@ -194,13 +194,21 @@ def main():
     note(f"bench: e2e gate pair success={e2e_ok} "
          f"(RE={float(e2e_re):.3f} deg, TE={float(e2e_te)*100:.1f} cm)")
     note("bench: timing e2e path...")
-    times_e2e = []
+    times_e2e, times_fwd = [], []
     for trial in range(5):
         t0 = time.perf_counter()
-        r = register_e2e(jax.random.PRNGKey(trial))
+        F = fwd(params, st_pair)
+        jax.block_until_ready(F.feats)
+        t1 = time.perf_counter()
+        r = match_solve(F.feats[:CAP], F.feats[CAP:],
+                        F.valid[:CAP], F.valid[CAP:],
+                        xyz0, xyz1, jax.random.PRNGKey(trial))
         jax.block_until_ready(r.transform)
         times_e2e.append(time.perf_counter() - t0)
+        times_fwd.append(t1 - t0)
     e2e_pairs_per_sec = 1.0 / min(times_e2e)
+    note(f"bench: e2e split fwd={1000*min(times_fwd):.1f} ms, "
+         f"solve={1000*(min(times_e2e)-min(times_fwd)):.1f} ms")
 
     print(
         json.dumps(

@@ -15,7 +15,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.knn import find_nn, mutual_nn_mask, feature_distance_ratio
+from ..ops.knn import find_nn_bidirectional, mutual_nn_mask, feature_distance_ratio
 from .gpf import grid_prioritized_filter
 
 
@@ -50,9 +50,12 @@ def match_pair(
     n0 = F0.shape[0]
     valid = mask0 if mask0 is not None else jnp.ones((n0,), bool)
 
-    fwd = find_nn(F0, F1, mask1=mask1, return_2nd=True, row_tile=row_tile)
-    bwd = find_nn(F1, F0, mask1=mask0, return_2nd=False, row_tile=row_tile)
-    is_bb = mutual_nn_mask(fwd.idx, bwd.idx, mask0=valid)
+    # one distance-matrix pass yields forward top-2 AND backward NN — half
+    # the HBM traffic of two find_nn calls (ops/knn.py find_nn_bidirectional)
+    fwd, bwd_idx = find_nn_bidirectional(
+        F0, F1, mask0=mask0, mask1=mask1, row_tile=row_tile
+    )
+    is_bb = mutual_nn_mask(fwd.idx, bwd_idx, mask0=valid)
     if mask1 is not None:
         # a padded target row can never anchor a best buddy
         is_bb = is_bb & mask1[fwd.idx]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..sparse.hashtable import build_table
 from ..sparse.tensor import SparseTensor, downsample_coords, kernel_offsets
 from .fcgf import BasicBlockBN, SparseBatchNorm, SparseConvLayer
-from ..sparse.conv import invert_kernel_map, kernel_map
+from ..sparse.conv import invert_kernel_map, kernel_map, kernel_map_down
 
 
 def _mk_table(coords, valid, capacity):
@@ -75,7 +75,17 @@ class LevelStructs:
 
     def down(self, lvl: int, k: int = 3):
         # stride-2 conv: inputs at level lvl, outputs at lvl+1, offsets in
-        # input-stride units
+        # input-stride units. k=3 derives the map from the fine side
+        # (2^dim lookups/input voxel vs 3^dim/output voxel — an 11x probe
+        # reduction for 6-D nets; sparse/conv.py kernel_map_down)
+        if k == 3:
+            key = ("down", lvl)
+            if key not in self._kmaps:
+                self._kmaps[key] = kernel_map_down(
+                    self.tables[lvl + 1], self.coords[lvl], self.valid[lvl],
+                    self.coords[lvl + 1].shape[0], self.stride[lvl],
+                )
+            return self._kmaps[key]
         return self.km(lvl, lvl + 1, k, self.stride[lvl])
 
     def up(self, lvl: int, k: int = 3):

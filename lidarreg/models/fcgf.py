@@ -31,6 +31,7 @@ from ..sparse.conv import (
     apply_conv,
     invert_kernel_map,
     kernel_map,
+    kernel_map_down,
     kernel_map_stride1,
     table_for,
 )
@@ -226,9 +227,12 @@ class ResUNetBN2C(nn.Module):
         km2 = km(t2, v2, c2, v2, 3, 2 * s)
         km4 = km(t4, v4, c4, v4, 3, 4 * s)
         km8 = km(t8, v8, c8, v8, 3, 8 * s)
-        km_d12 = km(t1, v1, c2, v2, 3, s)        # stride-2 convs (down)
-        km_d24 = km(t2, v2, c4, v4, 3, 2 * s)
-        km_d48 = km(t4, v4, c8, v8, 3, 4 * s)
+        # stride-2 conv (down) maps derived from the FINE side: 2^dim
+        # coarse-table lookups per input voxel instead of 3^dim fine-table
+        # probes per output voxel (sparse/conv.py kernel_map_down)
+        km_d12 = kernel_map_down(t2, c1, v1, c2.shape[0], s)
+        km_d24 = kernel_map_down(t4, c2, v2, c4.shape[0], 2 * s)
+        km_d48 = kernel_map_down(t8, c4, v4, c8.shape[0], 4 * s)
         # conv_tr (up) maps are exact inversions of the down maps — J
         # set-scatters instead of a J x V hash-lookup pass (sparse/conv.py
         # invert_kernel_map)

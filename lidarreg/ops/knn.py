@@ -95,6 +95,76 @@ def find_nn(
     return out
 
 
+def find_nn_bidirectional(
+    F0: jnp.ndarray,
+    F1: jnp.ndarray,
+    mask0: jnp.ndarray | None = None,
+    mask1: jnp.ndarray | None = None,
+    row_tile: int = 4096,
+    precision: str = "highest",
+) -> tuple[NNResult, jnp.ndarray]:
+    """Forward top-2 NN and backward NN from ONE distance-matrix pass.
+
+    The matching front-end (match/pipeline.py) needs the forward NN (+2nd
+    for the ratio test) AND the backward NN (mutual-NN check). Two find_nn
+    calls compute the [N0, N1] distance matrix twice (~2x4 GB of HBM
+    traffic at 32k x 32k); here a lax.scan over row tiles computes each
+    distance block once, reduces it along columns for the forward top-2,
+    and folds it into running (min, argmin)-per-column carries for the
+    backward direction.
+
+    Returns (forward NNResult over F0 rows, backward idx [N1] into F0).
+    Bit-identical to the two-call path except backward argmin tie-breaks
+    (both pick SOME minimizing row; argmin takes the first, the carry takes
+    the first across tiles too — identical because tiles scan in order).
+    """
+    n0, dim = F0.shape
+    n1 = F1.shape[0]
+    tile = min(row_tile, max(n0, 8))
+    n_pad = (-n0) % tile
+    F0p = jnp.pad(F0, ((0, n_pad), (0, 0)))
+    ntiles = F0p.shape[0] // tile
+    sq1 = jnp.sum(F1 * F1, axis=1)
+    m0 = mask0 if mask0 is not None else jnp.ones((n0,), bool)
+    m0p = jnp.pad(m0, (0, n_pad))  # padded rows invalid for the backward min
+    tiles = F0p.reshape(ntiles, tile, dim)
+    m0t = m0p.reshape(ntiles, tile)
+
+    def body(carry, xs):
+        cmin, cidx = carry
+        f0_tile, m0_tile, t = xs
+        sq0 = jnp.sum(f0_tile * f0_tile, axis=1, keepdims=True)
+        cross = jnp.dot(f0_tile, F1.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        d2 = sq0 + sq1[None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 1e-30)
+        d2m = jnp.where(mask1[None, :], d2, _INF) if mask1 is not None else d2
+        # forward top-2 for this row tile
+        idx = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+        dmin = jnp.take_along_axis(d2m, idx[:, None], axis=1)[:, 0]
+        cols = lax.broadcasted_iota(jnp.int32, d2m.shape, 1)
+        d2_wo = jnp.where(cols == idx[:, None], _INF, d2m)
+        idx2 = jnp.argmin(d2_wo, axis=1).astype(jnp.int32)
+        dmin2 = jnp.take_along_axis(d2_wo, idx2[:, None], axis=1)[:, 0]
+        # backward column-min fold (invalid/padded F0 rows excluded)
+        d2c = jnp.where(m0_tile[:, None], d2, _INF)
+        tmin = jnp.min(d2c, axis=0)
+        targ = (t * tile + jnp.argmin(d2c, axis=0)).astype(jnp.int32)
+        better = tmin < cmin
+        carry = (jnp.where(better, tmin, cmin),
+                 jnp.where(better, targ, cidx))
+        return carry, (idx, jnp.sqrt(dmin), idx2, jnp.sqrt(dmin2))
+
+    (cmin, cidx), outs = lax.scan(
+        body,
+        (jnp.full((n1,), _INF), jnp.zeros((n1,), jnp.int32)),
+        (tiles, m0t, jnp.arange(ntiles, dtype=jnp.int32)),
+    )
+    idx, dist, idx2, dist2 = (o.reshape(-1)[:n0] for o in outs)
+    fwd = NNResult(idx, dist, idx2, dist2)
+    return fwd, cidx
+
+
 def mutual_nn_mask(
     idx01: jnp.ndarray, idx10: jnp.ndarray, mask0: jnp.ndarray | None = None
 ) -> jnp.ndarray:

@@ -58,12 +58,20 @@ def kernel_map(
     out_valid: jnp.ndarray,
     offsets: jnp.ndarray,
 ) -> KernelMap:
-    """Neighbor map for all offsets at once: [J, Vo] lookups in one batch."""
+    """Neighbor map for all offsets at once: [J, Vo] lookups in one batch.
+
+    CONTRACT: `in_table` must have been built with `in_valid` as its
+    validity mask (every call site does — table_for / fcgf.mk_table /
+    dgr_zoo._mk_table). build_table only inserts valid rows, so nb >= 0
+    already implies the neighbor is valid: checking `in_valid[nb]` again
+    would be a J*Vo-row gather of pure waste (~35 ms of the FCGF forward
+    at 65k-pair scale; v5e round 3).
+    """
+    del in_valid  # kept in the signature to document the contract
     queries = out_coords[None, :, :] + offsets[:, None, :]  # [J, Vo, 3]
     nb = lookup(in_table, queries)
     hit = (nb >= 0) & out_valid[None, :]
     nb_safe = jnp.where(hit, nb, 0)
-    hit = hit & in_valid[nb_safe]
     return KernelMap(nb_safe, hit)
 
 
@@ -88,9 +96,11 @@ def kernel_map_stride1(
     assert J % 2 == 1, "hypercube stencils have odd offset counts"
     half = J // 2
     nb_half = lookup(in_table, coords[None, :, :] + offsets[:half, None, :])
+    # nb >= 0 already implies the neighbor is valid: the table is built
+    # with this same `valid` mask (kernel_map contract above), so the
+    # valid[nb] re-check would be a half*V-row gather of waste
     hit_half = (nb_half >= 0) & valid[None, :]
     nb_safe = jnp.where(hit_half, nb_half, 0)
-    hit_half = hit_half & valid[nb_safe]
 
     # mirror half via ONE flat scatter: nb[J-1-j, i] = o where nb[j, o] = i.
     # Scatters cost ~as much per element as gathers at this scale, so nb and
@@ -113,23 +123,91 @@ def kernel_map_stride1(
     return KernelMap(nb, hit)
 
 
+def kernel_map_down(
+    out_table: HashTable,
+    in_coords: jnp.ndarray,
+    in_valid: jnp.ndarray,
+    n_out: int,
+    stride: int,
+    kernel_size: int = 3,
+) -> KernelMap:
+    """Stride-2 (k=3) kernel map derived from the FINE side: 2^dim lookups
+    per input voxel instead of 3^dim per output voxel.
+
+    A stride-2 conv pairs (offset j, coarse out o, fine in i) where
+    in_c = out_c + off, off in {-s,0,s}^dim. Seen from the fine voxel:
+    out_c = in_c - off must lie on the 2s lattice, so per axis only the
+    offsets matching in_c's parity qualify — 0 where the component is even
+    (in 2s units), {-s,+s} where odd. That is at most 2^dim candidate
+    parents per fine voxel (vs 3^dim stencil probes per coarse voxel — a
+    3.4x probe reduction in 3-D, 11x for DGR's 6-D net), looked up in the
+    COARSE table and scattered into the map (at most one fine voxel per
+    (j, o) slot, so the packed set-scatter is conflict-free).
+
+    Bit-identical to `kernel_map(fine_table, ..., out_coords, ...)` with the
+    same offsets enumeration (tests/test_sparse.py parity test). Same table
+    contract as kernel_map: `out_table` must be built with the coarse
+    validity mask.
+    """
+    assert kernel_size == 3, "derivation assumes radius-1 stencils"
+    vi, d = in_coords.shape
+    s = jnp.int32(stride)
+    s2 = jnp.int32(2 * stride)
+    # component parity on the 2s lattice: r in {0, s} (floor-mod, coords
+    # may be negative)
+    r = in_coords - (in_coords // s2) * s2            # [Vi, d]
+    odd = r == s
+    rows_i = jnp.arange(vi, dtype=jnp.int32)
+    qs, js = [], []
+    for b in range(1 << d):
+        bits = jnp.asarray(
+            [(b >> (d - 1 - k)) & 1 for k in range(d)], jnp.int32
+        )
+        off = jnp.where(odd, (2 * bits[None, :] - 1) * s, 0)   # [Vi, d]
+        qs.append(in_coords - off)
+        # offset index in the kernel_offsets enumeration (meshgrid 'ij':
+        # LAST axis fastest): j = sum_k (off_k/s + 1) * 3^(d-1-k)
+        idx = off // s + 1
+        w3 = jnp.asarray([3 ** (d - 1 - k) for k in range(d)], jnp.int32)
+        js.append(jnp.sum(idx * w3[None, :], axis=1))
+    q = jnp.stack(qs)                                  # [2^d, Vi, d]
+    j_idx = jnp.stack(js)                              # [2^d, Vi]
+    o_row = lookup(out_table, q)                       # [2^d, Vi]
+    J = 3**d
+    ok = (o_row >= 0) & in_valid[None, :]
+    tgt = jnp.where(ok, j_idx * n_out + o_row, J * n_out).ravel()
+    packed = (
+        jnp.full((J * n_out,), -1, jnp.int32)
+        .at[tgt].set(
+            jnp.broadcast_to(rows_i, (1 << d, vi)).ravel(), mode="drop"
+        )
+        .reshape(J, n_out)
+    )
+    return KernelMap(jnp.maximum(packed, 0), packed >= 0)
+
+
 def invert_kernel_map(down: KernelMap, n_fine: int) -> KernelMap:
     """Transpose-conv kernel map derived from the matching down-conv map.
 
     A stride-2 conv's (offset j, coarse out o, fine in i) pairs are exactly
     the transpose conv's (J-1-j, i, o) pairs back onto the finer coordinate
-    set (offset negation reverses the hypercube enumeration). J set-scatters
-    replace a J x V hash-lookup pass (~30% of FCGF kernel-map cost on v5e).
+    set (offset negation reverses the hypercube enumeration). ONE packed
+    flat set-scatter (nb and hit share an int32: init -1, hit = val >= 0)
+    replaces a J x V hash-lookup pass (~30% of FCGF kernel-map cost on
+    v5e) — same packing trick as kernel_map_stride1's mirror half.
     """
     J, Vc = down.nb.shape
-    nb = jnp.zeros((J, n_fine), jnp.int32)
-    hit = jnp.zeros((J, n_fine), bool)
-    coarse_rows = jnp.arange(Vc, dtype=jnp.int32)
-    for j in range(J):
-        tgt = jnp.where(down.hit[j], down.nb[j], n_fine)
-        nb = nb.at[J - 1 - j, tgt].set(coarse_rows, mode="drop")
-        hit = hit.at[J - 1 - j, tgt].set(True, mode="drop")
-    return KernelMap(nb, hit)
+    coarse_rows = jnp.broadcast_to(
+        jnp.arange(Vc, dtype=jnp.int32), (J, Vc)
+    )
+    j_base = (J - 1 - jnp.arange(J, dtype=jnp.int32))[:, None] * n_fine
+    tgt = jnp.where(down.hit, j_base + down.nb, J * n_fine).ravel()
+    packed = (
+        jnp.full((J * n_fine,), -1, jnp.int32)
+        .at[tgt].set(coarse_rows.ravel(), mode="drop")
+        .reshape(J, n_fine)
+    )
+    return KernelMap(jnp.maximum(packed, 0), packed >= 0)
 
 
 def apply_conv(

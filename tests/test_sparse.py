@@ -353,3 +353,46 @@ class TestOverflowRetryPath:
             lookup(table, jnp.asarray(coords), retry_capacity=v)
         )
         np.testing.assert_array_equal(rows, np.arange(v))
+
+
+class TestScatterSideDownMap:
+    """kernel_map_down (2^dim fine-side lookups) == kernel_map (3^dim)."""
+
+    def _check(self, rng, dim, in_stride, cap=512):
+        from lidarreg.sparse import build_table
+        from lidarreg.sparse.conv import kernel_map, kernel_map_down
+
+        coords = np.unique(
+            (rng.integers(-20, 20, (cap, dim)) * in_stride).astype(np.int32),
+            axis=0,
+        )
+        n = len(coords)
+        coords = np.concatenate(
+            [coords, np.full((cap - n, dim), 2**20, np.int32)]
+        )
+        valid = np.arange(cap) < n
+        c1, v1 = jnp.asarray(coords), jnp.asarray(valid)
+        c2, v2 = downsample_coords(c1, v1, in_stride, cap)
+        t1, _ = build_table(c1, v1, 8192)
+        t2, _ = build_table(c2, v2, 8192)
+
+        offs = kernel_offsets(3, in_stride, dim)
+        ref = kernel_map(t1, v1, c2, v2, offs)
+        got = kernel_map_down(t2, c1, v1, cap, in_stride)
+
+        hr, hg = np.asarray(ref.hit), np.asarray(got.hit)
+        np.testing.assert_array_equal(hr, hg)
+        nr, ng = np.asarray(ref.nb), np.asarray(got.nb)
+        np.testing.assert_array_equal(nr[hr], ng[hr])
+
+    def test_3d_stride1(self, rng):
+        self._check(rng, 3, 1)
+
+    def test_3d_stride2(self, rng):
+        self._check(rng, 3, 2)
+
+    def test_3d_stride4(self, rng):
+        self._check(rng, 3, 4)
+
+    def test_6d(self, rng):
+        self._check(rng, 6, 1, cap=256)

@@ -102,6 +102,7 @@ def find_nn_bidirectional(
     mask1: jnp.ndarray | None = None,
     row_tile: int = 4096,
     precision: str = "highest",
+    backend: str = "auto",
 ) -> tuple[NNResult, jnp.ndarray]:
     """Forward top-2 NN and backward NN from ONE distance-matrix pass.
 
@@ -117,8 +118,23 @@ def find_nn_bidirectional(
     Bit-identical to the two-call path except backward argmin tie-breaks
     (both pick SOME minimizing row; argmin takes the first, the carry takes
     the first across tiles too — identical because tiles scan in order).
+
+    backend: "auto" routes through the fused VMEM-resident pallas kernel on
+    TPU (ops.pallas_knn.knn_bidir_pallas — no [tile, N1] HBM blocks at
+    all); "jnp" forces the lax.scan path (CPU / reference).
     """
     n0, dim = F0.shape
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        from .pallas_knn import knn_bidir_pallas
+
+        m0 = mask0 if mask0 is not None else jnp.ones((n0,), bool)
+        m1 = mask1 if mask1 is not None else jnp.ones((F1.shape[0],), bool)
+        i1, d1, i2, d2, bi, _ = knn_bidir_pallas(F0, F1, m0, m1)
+        return NNResult(i1, d1, i2, d2), bi
     n1 = F1.shape[0]
     tile = min(row_tile, max(n0, 8))
     n_pad = (-n0) % tile

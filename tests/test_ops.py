@@ -162,3 +162,46 @@ class TestPallasKNN:
         a = knn_mod.find_nn(F0, F1, return_2nd=True, backend="pallas")
         b = knn_mod.find_nn(F0, F1, return_2nd=True)
         np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+
+
+class TestPallasBidirKNN:
+    def test_matches_jnp_interpret(self, rng):
+        from lidarreg.ops.pallas_knn import knn_bidir_pallas
+
+        F0 = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+        F1 = jnp.asarray(rng.normal(size=(700, 16)).astype(np.float32))
+        mask0 = np.ones(300, bool)
+        mask0[250:] = False
+        mask1 = np.ones(700, bool)
+        mask1[600:] = False
+        i1, d1, i2, d2, bi, bd = knn_bidir_pallas(
+            F0, F1, jnp.asarray(mask0), jnp.asarray(mask1), True  # interpret
+        )
+        ref, bwd_ref = knn_mod.find_nn_bidirectional(
+            F0, F1, mask0=jnp.asarray(mask0), mask1=jnp.asarray(mask1),
+            backend="jnp",
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ref.idx))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ref.idx2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(ref.dist),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(ref.dist2),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(bwd_ref))
+        assert np.asarray(i1).max() < 600      # padding never matched fwd
+        assert np.asarray(bi).max() < 250      # invalid F0 rows never matched
+
+    def test_bidir_vs_two_calls(self, rng):
+        """jnp bidirectional == two find_nn calls (incl. backward)."""
+        F0 = jnp.asarray(rng.normal(size=(130, 8)).astype(np.float32))
+        F1 = jnp.asarray(rng.normal(size=(90, 8)).astype(np.float32))
+        m0 = jnp.asarray(rng.random(130) > 0.2)
+        m1 = jnp.asarray(rng.random(90) > 0.2)
+        fwd, bwd = knn_mod.find_nn_bidirectional(
+            F0, F1, mask0=m0, mask1=m1, row_tile=32, backend="jnp"
+        )
+        fr = knn_mod.find_nn(F0, F1, mask1=m1, return_2nd=True)
+        br = knn_mod.find_nn(F1, F0, mask1=m0)
+        np.testing.assert_array_equal(np.asarray(fwd.idx), np.asarray(fr.idx))
+        np.testing.assert_array_equal(np.asarray(fwd.idx2), np.asarray(fr.idx2))
+        np.testing.assert_array_equal(np.asarray(bwd), np.asarray(br.idx))

@@ -4,18 +4,24 @@ Rebuilds Experiments/multiway/make_fragments.py:23-140 (the front half of
 the multiway experiment: Open3D RGBD odometry + ScalableTSDFVolume) with
 TPU-native math:
 
-  * `rgbd_odometry` — point-to-plane depth odometry (fixed Gauss-Newton
-    iterations over the projective association, fully jitted) standing in
-    for o3d.odometry.compute_rgbd_odometry's hybrid color+depth term
-    (make_fragments.py:35-62). DOCUMENTED DEVIATION + LIMITATION: without
-    the color term, depth-only odometry is only well-conditioned when the
-    visible geometry spans >= 3 independent normal directions; on
-    low-geometry scenes (walls/floors) the weak directions are
-    noise-driven (the hybrid term exists for exactly this). Validated on
-    multi-plane synthetic scenes (tests/test_fragments.py); fragment-scale
-    pose-graph + TSDF smooth residual per-pair error. Returns (success, T,
-    6x6 information) with the information matrix built from the
-    point-to-plane Jacobians like
+  * `rgbd_odometry` — HYBRID color+depth odometry (fixed Gauss-Newton
+    iterations over the projective association, fully jitted) rebuilding
+    o3d.odometry.compute_rgbd_odometry with
+    RGBDOdometryJacobianFromHybridTerm (make_fragments.py:35-62, Park et
+    al. ICCV'17): when intensity images are passed, each GN step stacks a
+    photometric residual I_tgt(w(x)) - I_src(x) (image gradients chained
+    through the projective warp) with the geometric term at equal weight
+    (lambda = 0.5 each, Open3D's hybrid constants). The photometric
+    jacobian conditions exactly the directions flat geometry cannot
+    (in-plane translation / rotation about the normal) — validated on a
+    textured fronto-parallel plane where depth-only observes nothing
+    (tests/test_fragments.py). DOCUMENTED DEVIATIONS: the geometric term
+    is point-to-plane (better conditioned than the reference's depth-
+    difference term), and association is single-scale (no image pyramid) —
+    odometry inits must be within the basin, which fragment-rate frames
+    are. Without intensities the depth-only behavior is unchanged.
+    Returns (success, T, 6x6 information) with the information matrix
+    built from the point-to-plane Jacobians like
     o3d.registration.get_information_matrix_from_point_clouds.
   * `TSDFVolume` — a DENSE truncated-signed-distance volume integrated one
     depth frame per call: every voxel center is projected into the frame
@@ -133,11 +139,15 @@ def rgbd_odometry(
     max_depth: float = 3.0,
     max_depth_diff: float = 0.07,   # config["max_depth_diff"] default
     init_T: jnp.ndarray | None = None,
+    intensity_src: jnp.ndarray | None = None,   # [H, W] in [0, 1]
+    intensity_tgt: jnp.ndarray | None = None,
 ):
-    """Projective point-to-plane odometry src->tgt.
+    """Projective hybrid (photometric + point-to-plane) odometry src->tgt.
 
     Returns (success, T [4,4] mapping src-frame points into tgt-frame,
     info [6,6]). `success` mirrors o3d's criterion: enough associated pixels.
+    When `intensity_src/tgt` are given the GN normal equations additionally
+    accumulate the photometric term (RGBDOdometryJacobianFromHybridTerm).
     """
     src_pts, src_valid = depth_to_points(depth_src, K, max_depth)
     tgt_P, tgt_valid = depth_to_points(depth_tgt, K, max_depth)
@@ -146,6 +156,16 @@ def rgbd_odometry(
     T0 = jnp.eye(4) if init_T is None else init_T
 
     tgt_valid_img = tgt_valid.reshape(K.height, K.width)
+
+    use_color = intensity_src is not None and intensity_tgt is not None
+    if use_color:
+        i_src_flat = intensity_src.reshape(-1)
+        # central-difference image gradients (intensity per pixel), sampled
+        # bilinearly at the warped location inside each GN step
+        g_iu = 0.5 * (jnp.roll(intensity_tgt, -1, axis=1)
+                      - jnp.roll(intensity_tgt, 1, axis=1))
+        g_iv = 0.5 * (jnp.roll(intensity_tgt, -1, axis=0)
+                      - jnp.roll(intensity_tgt, 1, axis=0))
 
     def step(T, _):
         R, t = T[:3, :3], T[:3, 3]
@@ -165,6 +185,15 @@ def rgbd_odometry(
                 + img[v0, u0 + 1] * fu * (1 - fv)
                 + img[v0 + 1, u0] * (1 - fu) * fv
                 + img[v0 + 1, u0 + 1] * fu * fv
+            )
+
+        def bil_scalar(img):
+            fu1, fv1 = fu[:, 0], fv[:, 0]
+            return (
+                img[v0, u0] * (1 - fu1) * (1 - fv1)
+                + img[v0, u0 + 1] * fu1 * (1 - fv1)
+                + img[v0 + 1, u0] * (1 - fu1) * fv1
+                + img[v0 + 1, u0 + 1] * fu1 * fv1
             )
 
         q = bil(tgt_P)
@@ -210,7 +239,37 @@ def rgbd_odometry(
         J = jnp.concatenate([jnp.cross(p, nrm), nrm], axis=-1)  # [N, 6]
         A = jnp.einsum("ni,nj->ij", J * w[:, None], J, precision="highest")
         b = jnp.einsum("ni,n->i", J * w[:, None], r, precision="highest")
-        xi = _cholesky_solve6(A + 1e-6 * jnp.eye(6), -b)
+        A_solve, b_solve = A, b
+        if use_color:
+            # photometric term: r_I = I_tgt(warp(x)) - I_src(x); the image
+            # gradient chains through the projective warp du/dp' so the
+            # 6-dof jacobian shares the [p x g3, g3] structure of the
+            # geometric row (same left-perturbation convention)
+            i_q = bil_scalar(intensity_tgt)
+            gx = bil_scalar(g_iu)
+            gy = bil_scalar(g_iv)
+            z = jnp.maximum(p[:, 2], 1e-6)
+            g3 = jnp.stack(
+                [gx * K.fx / z, gy * K.fy / z,
+                 -(gx * K.fx * p[:, 0] + gy * K.fy * p[:, 1]) / (z * z)],
+                axis=-1,
+            )
+            r_i = jnp.where(ok, i_q - i_src_flat, 0.0)
+            g3 = jnp.where(ok[:, None], g3, 0.0)
+            # Geman-McClure IRLS on the intensity residual (occlusion /
+            # specular pixels), scale in intensity units
+            delta_i = 0.05
+            w_i = jnp.where(ok, 1.0 / (1.0 + (r_i / delta_i) ** 2), 0.0)
+            J_i = jnp.concatenate([jnp.cross(p, g3), g3], axis=-1)
+            A_i = jnp.einsum("ni,nj->ij", J_i * w_i[:, None], J_i,
+                             precision="highest")
+            b_i = jnp.einsum("ni,n->i", J_i * w_i[:, None], r_i,
+                             precision="highest")
+            # equal hybrid weighting (Open3D's sqrt(0.5) per-residual
+            # constants square to 0.5 on the normal equations)
+            A_solve = 0.5 * A + 0.5 * A_i
+            b_solve = 0.5 * b + 0.5 * b_i
+        xi = _cholesky_solve6(A_solve + 1e-6 * jnp.eye(6), -b_solve)
         wvec, tvec = xi[:3], xi[3:]
         th = jnp.sqrt(jnp.sum(wvec**2) + 1e-12)
         k = wvec / th
@@ -321,6 +380,7 @@ def make_fragment(
     tsdf_cubic_size: float = 3.0,
     capacity: int = 100_000,
     max_depth: float = 3.0,
+    intensities: Sequence[np.ndarray] | None = None,
 ):
     """Frames -> fragment point cloud + optimized per-frame poses.
 
@@ -330,12 +390,21 @@ def make_fragment(
     """
     F = len(depths)
     depths_j = [jnp.asarray(d, jnp.float32) for d in depths]
+    ints_j = (None if intensities is None
+              else [jnp.asarray(c, jnp.float32) for c in intensities])
+
+    def _odo(s, t):
+        kw = {}
+        if ints_j is not None:
+            kw = dict(intensity_src=ints_j[s], intensity_tgt=ints_j[t])
+        return rgbd_odometry(depths_j[s], depths_j[t], K,
+                             max_depth=max_depth, **kw)
+
     nodes = [np.eye(4)]
     edges = []
     odo = np.eye(4)
     for s in range(F - 1):
-        ok, T, info = rgbd_odometry(depths_j[s], depths_j[s + 1], K,
-                                    max_depth=max_depth)
+        ok, T, info = _odo(s, s + 1)
         T = np.asarray(T)          # T_{s+1 <- s}
         info = np.asarray(info)
         if not (bool(ok) and np.isfinite(T).all() and np.isfinite(info).all()):
@@ -351,8 +420,7 @@ def make_fragment(
     for s in range(0, F, n_keyframes_per_n_frame):
         for t_ in range(s + n_keyframes_per_n_frame, F,
                         n_keyframes_per_n_frame):
-            ok, T, info = rgbd_odometry(depths_j[s], depths_j[t_], K,
-                                        max_depth=max_depth)
+            ok, T, info = _odo(s, t_)
             if bool(ok):
                 edges.append(
                     PoseGraphEdge(s, t_, np.linalg.inv(np.asarray(T)),

@@ -97,6 +97,80 @@ class TestOdometry:
         np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-5)
 
 
+def render_textured_plane(cam_from_world, wall_z=2.0):
+    """Fronto-parallel wall z=wall_z with a smooth world-anchored texture.
+
+    Depth alone carries ZERO signal about in-plane motion here (the depth
+    image is constant); only the photometric term can observe it.
+    Returns (depth [H,W] f32, intensity [H,W] f32 in [0,1]).
+    """
+    v, u = np.meshgrid(np.arange(K.height), np.arange(K.width), indexing="ij")
+    d = np.stack([(u - K.cx) / K.fx, (v - K.cy) / K.fy, np.ones_like(u)],
+                 axis=-1).astype(np.float64)
+    world_from_cam = np.linalg.inv(cam_from_world)
+    Rwc, twc = world_from_cam[:3, :3], world_from_cam[:3, 3]
+    dirs = d @ Rwc.T
+    tz = (wall_z - twc[2]) / dirs[..., 2]
+    depth = (tz * d[..., 2]).astype(np.float32)
+    wx = twc[0] + tz * dirs[..., 0]
+    wy = twc[1] + tz * dirs[..., 1]
+    tex = (0.5 + 0.2 * np.sin(3.0 * wx) + 0.15 * np.cos(4.0 * wy)
+           + 0.1 * np.sin(7.0 * (wx + wy)))
+    return depth, tex.astype(np.float32)
+
+
+class TestHybridOdometry:
+    """The color term constrains what flat geometry cannot.
+
+    Rebuilds the capability of RGBDOdometryJacobianFromHybridTerm
+    (reference Experiments/multiway/make_fragments.py:35-62): on a
+    textured fronto-parallel plane, in-plane translation is invisible to
+    any depth-only term but fully observable photometrically.
+    """
+
+    def test_depth_only_blind_to_inplane_motion(self):
+        d0, _ = render_textured_plane(np.eye(4))
+        T_gt = np.eye(4)
+        T_gt[:3, 3] = [0.02, -0.015, 0.0]
+        d1, _ = render_textured_plane(T_gt)
+        ok, T, _ = rgbd_odometry(jnp.asarray(d0), jnp.asarray(d1), K,
+                                 iters=10)
+        assert bool(ok)
+        # the constant depth image admits the identity: the solver must NOT
+        # hallucinate the in-plane component (ridge keeps it near zero)
+        assert abs(np.asarray(T)[0, 3]) < 0.5 * 0.02
+
+    def test_hybrid_recovers_inplane_motion(self):
+        d0, i0 = render_textured_plane(np.eye(4))
+        T_gt = np.eye(4)
+        T_gt[:3, 3] = [0.02, -0.015, 0.0]
+        d1, i1 = render_textured_plane(T_gt)
+        ok, T, info = rgbd_odometry(
+            jnp.asarray(d0), jnp.asarray(d1), K, iters=10,
+            intensity_src=jnp.asarray(i0), intensity_tgt=jnp.asarray(i1),
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(T)[:3, 3], T_gt[:3, 3],
+                                   atol=3e-3)
+        assert np.isfinite(np.asarray(info)).all()
+
+    def test_hybrid_matches_depth_only_on_geometric_scene(self):
+        # on a geometry-rich scene the hybrid estimate must agree with the
+        # (already-validated) depth-only one: flat texture = no-op term
+        box = (-0.4, 0.3, -0.3, 0.2, 1.5)
+        d0 = render_plane_depth(np.eye(4), box=box, corner=True)
+        T_gt = np.eye(4)
+        T_gt[:3, 3] = [0.03, 0.01, -0.02]
+        d1 = render_plane_depth(T_gt, box=box, corner=True)
+        flat = jnp.full(d0.shape, 0.5, jnp.float32)
+        ok, T, _ = rgbd_odometry(jnp.asarray(d0), jnp.asarray(d1), K,
+                                 iters=15, intensity_src=flat,
+                                 intensity_tgt=flat)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(T)[:3, 3], T_gt[:3, 3],
+                                   atol=5e-3)
+
+
 class TestTSDF:
     def test_wall_surface_recovered(self):
         depth = render_plane_depth(np.eye(4))

@@ -21,27 +21,16 @@ REFERENCE_PAIRS_PER_SEC = 1.0  # documented assumption, see module docstring
 
 
 def build_pair(rng, n_raw=120_000):
-    """Synthetic LiDAR-like scene pair with known motion."""
+    """Synthetic LiDAR-like scene pair with known motion.
+
+    Same scene family FCGF trains on (data/adapters.synthesize_lidar_scene)
+    so the e2e gate measures the trained encoder in-distribution.
+    """
     import jax.numpy as jnp
     from lidarreg.core.se3 import euler_to_rotation
+    from lidarreg.data.adapters import synthesize_lidar_scene
 
-    ground = np.c_[
-        rng.uniform(-60, 60, (n_raw // 2, 2)),
-        rng.normal(0, 0.05, (n_raw // 2, 1)),
-    ]
-    walls = []
-    for _ in range(30):
-        c = rng.uniform(-50, 50, 2)
-        h = rng.uniform(2, 8)
-        n = n_raw // 60
-        walls.append(
-            np.c_[
-                c[0] + rng.normal(0, 0.3, n),
-                c[1] + rng.normal(0, 3.0, n),
-                rng.uniform(0, h, n),
-            ]
-        )
-    cloud = np.vstack([ground] + walls).astype(np.float32)[:n_raw]
+    cloud = synthesize_lidar_scene(rng, n_raw)
     ang = np.radians([1.0, -0.5, 30.0])
     t = np.array([8.0, -3.0, 0.2])
     R = np.asarray(euler_to_rotation(jnp.asarray(ang)))

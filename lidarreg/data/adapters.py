@@ -151,14 +151,104 @@ class LyftLEVEL5(_FullBackedDataset):
     name = "LyftLEVEL5"
 
 
+def synthesize_lidar_scene(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Deterministic LiDAR-like urban scene with DISTINCTIVE local geometry.
+
+    Ground plane + a mix of structures whose local neighborhoods differ
+    from one another — L-corner wall junctions, cylinders (poles/trunks),
+    box surfaces (parked cars), and plain wall segments. Metric learning
+    (FCGF hardest-contrastive) needs locally-distinctive geometry to reach
+    useful NN inlier ratios; plain self-similar wall strips cap the
+    descriptor quality regardless of training length (round-3 finding:
+    loss plateaus at ~0.885 with ~1% NN inlier ratio on wall-only scenes).
+    """
+    n_ground = int(n * 0.45)
+    ground = np.c_[
+        rng.uniform(-70, 70, (n_ground, 2)),
+        rng.normal(0, 0.04, (n_ground, 1)),
+    ]
+    parts = [ground]
+    budget = n - n_ground
+
+    def wall(c, yaw, length, height, m):
+        u = np.array([np.cos(yaw), np.sin(yaw)])
+        t = rng.uniform(-length / 2, length / 2, m)
+        xy = c + t[:, None] * u + rng.normal(0, 0.08, (m, 2))
+        return np.c_[xy, rng.uniform(0, height, m)]
+
+    n_corner, n_pole, n_box, n_wall = 10, 18, 10, 14
+    per = budget // (n_corner * 2 + n_pole // 2 + n_box + n_wall)
+    for _ in range(n_corner):
+        c = rng.uniform(-60, 60, 2)
+        yaw = rng.uniform(0, np.pi)
+        h = rng.uniform(3, 9)
+        # two walls meeting at c with a near-right angle: the junction line
+        # is a locally unique feature
+        parts.append(wall(c + np.array([np.cos(yaw), np.sin(yaw)])
+                          * rng.uniform(1.5, 5), yaw, rng.uniform(3, 10),
+                          h, per))
+        yaw2 = yaw + np.pi / 2 + rng.uniform(-0.2, 0.2)
+        parts.append(wall(c + np.array([np.cos(yaw2), np.sin(yaw2)])
+                          * rng.uniform(1.5, 5), yaw2, rng.uniform(3, 10),
+                          h, per))
+    for _ in range(n_pole):
+        c = rng.uniform(-60, 60, 2)
+        r = rng.uniform(0.12, 0.45)
+        h = rng.uniform(3, 9)
+        m = per // 2
+        th = rng.uniform(0, 2 * np.pi, m)
+        parts.append(np.c_[
+            c[0] + r * np.cos(th) + rng.normal(0, 0.02, m),
+            c[1] + r * np.sin(th) + rng.normal(0, 0.02, m),
+            rng.uniform(0, h, m),
+        ])
+    for _ in range(n_box):
+        c = rng.uniform(-55, 55, 2)
+        yaw = rng.uniform(0, np.pi)
+        L, W, H = rng.uniform(3.8, 5.2), rng.uniform(1.6, 2.0), \
+            rng.uniform(1.4, 1.8)
+        u = np.array([np.cos(yaw), np.sin(yaw)])
+        v = np.array([-u[1], u[0]])
+        m = per
+        # sample the 4 side faces + roof by area
+        areas = np.array([L * H, L * H, W * H, W * H, L * W])
+        face = rng.choice(5, m, p=areas / areas.sum())
+        a = rng.uniform(-0.5, 0.5, m)
+        b = rng.uniform(0, 1, m)
+        xy = np.empty((m, 2))
+        z = np.empty(m)
+        side = face < 4
+        sgn = np.where(face % 2 == 0, 1.0, -1.0)
+        along = np.where(face < 2, L, W)
+        across = np.where(face < 2, W, L)
+        dir_a = np.where(face[:, None] < 2, u[None], v[None])
+        dir_n = np.where(face[:, None] < 2, v[None], u[None])
+        xy = c + a[:, None] * along[:, None] * dir_a \
+            + 0.5 * sgn[:, None] * across[:, None] * dir_n
+        z = np.where(side, b * H, H)
+        roof = face == 4
+        xy[roof] = (c + a[roof, None] * L * u[None]
+                    + (b[roof, None] - 0.5) * W * v[None])
+        parts.append(np.c_[xy + rng.normal(0, 0.03, (m, 2)), z])
+    for _ in range(n_wall):
+        parts.append(wall(rng.uniform(-60, 60, 2), rng.uniform(0, np.pi),
+                          rng.uniform(2, 15), rng.uniform(2, 10), per))
+    pts = np.vstack(parts)
+    if pts.shape[0] < n:
+        extra = rng.uniform(-70, 70, (n - pts.shape[0], 2))
+        pts = np.vstack([pts, np.c_[extra, rng.normal(0, 0.04,
+                                                      (n - pts.shape[0], 1))]])
+    return pts[:n].astype(np.float32)
+
+
 class SyntheticBalancedDataset:
     """Deterministic LiDAR-like scenes moved by REAL published motions.
 
-    Scene = ground plane + random vertical structures, hashed per
-    (dataset, session, frame) so repeated loads are identical. The motion
-    applied between the pair is the published balanced-set motion, so error
-    statistics (RE/TE distributions, recall) exercise the true benchmark
-    motion distribution.
+    Scene = ground plane + distinctive structures (synthesize_lidar_scene),
+    hashed per (dataset, session, frame) so repeated loads are identical.
+    The motion applied between the pair is the published balanced-set
+    motion, so error statistics (RE/TE distributions, recall) exercise the
+    true benchmark motion distribution.
     """
 
     def __init__(self, base: str = "ApolloSouthbay", phase: str = "test",
@@ -178,29 +268,8 @@ class SyntheticBalancedDataset:
         return len(self.pairs)
 
     def _scene(self, seed: int) -> np.ndarray:
-        rng = np.random.default_rng(seed)
-        n = self.n_points
-        n_ground = n // 2
-        ground = np.c_[
-            rng.uniform(-70, 70, (n_ground, 2)),
-            rng.normal(0, 0.04, (n_ground, 1)),
-        ]
-        rest = n - n_ground
-        n_struct = 40
-        per = rest // n_struct
-        structs = []
-        for _ in range(n_struct):
-            c = rng.uniform(-60, 60, 2)
-            yaw = rng.uniform(0, np.pi)
-            length = rng.uniform(2, 15)
-            height = rng.uniform(2, 10)
-            u = np.array([np.cos(yaw), np.sin(yaw)])
-            t = rng.uniform(-length / 2, length / 2, per)
-            xy = c + t[:, None] * u + rng.normal(0, 0.1, (per, 2))
-            z = rng.uniform(0, height, per)
-            structs.append(np.c_[xy, z])
-        pts = np.vstack([ground] + structs)[:n]
-        return pts.astype(np.float32)
+        return synthesize_lidar_scene(np.random.default_rng(seed),
+                                      self.n_points)
 
     def get_pair(self, ind: int):
         p = self.pairs

@@ -142,14 +142,23 @@ def main():
     # random init (identical timing) if the checkpoint is absent
     import os
 
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "weights", "fcgf_synthetic_25ep.msgpack")
-    if os.path.exists(ckpt):
+    wdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
+    ckpt = None
+    # preference order = measured NN-inlier-ratio/recall ranking in
+    # BASELINE.md, NOT training length (the 100-epoch runs collapse —
+    # see the matchability-collapse section)
+    for name in ("fcgf_synthetic_25ep.msgpack",
+                 "fcgf_distinct_100ep.msgpack",
+                 "fcgf_synthetic_100ep.msgpack"):
+        cand = os.path.join(wdir, name)
+        if os.path.exists(cand):
+            ckpt = cand
+            break
+    if ckpt is not None:
         from lidarreg.utils.checkpoint import load_variables
 
         params = load_variables(ckpt)
-        note("bench: e2e uses trained weights "
-             "(weights/fcgf_synthetic_25ep.msgpack)")
+        note(f"bench: e2e uses trained weights ({os.path.basename(ckpt)})")
     else:
         params = model.init(jax.random.PRNGKey(3), st_a, train=False)
         note("bench: e2e weights file missing — random init (timing only)")

@@ -77,6 +77,17 @@ class RansacConfig(NamedTuple):
     # correspondence counts, so the pre-stage only adds overhead.
     sprt_samples: int = 0
     sprt_survivors: int = 4096
+    # Structured sample reuse: draw ONE correspondence index per hypothesis
+    # and build the s-point minimal sample from cyclic rolls of the drawn
+    # chunk — every point participates in s hypotheses, cutting the random
+    # 4M-row minimal-sample gather (the profiled engine floor, CLAUDE.md)
+    # by s x. Default OFF: marginal per-hypothesis inlier statistics are
+    # unchanged, but the cross-hypothesis correlation (hypotheses i and
+    # i+jC/s share s-1 points) collapses the number of INDEPENDENT trials,
+    # and the max-statistic pays for it exactly in the low-inlier regime
+    # RANSAC exists for — measured 13% vs 40% recall at 5% inliers / 262k
+    # hypotheses (scripts/reuse_ablation.py, BASELINE.md negative ablation).
+    sample_reuse: bool = False
 
 
 class RansacResult(NamedTuple):
@@ -223,16 +234,18 @@ def _score_chunk(
     # whole engine at one word per draw); larger pools pay one word per draw
     # at 24-bit resolution (exactly representable in f32) so the tail of the
     # pool stays sampleable.
+    n_rows = 1 if cfg.sample_reuse else s
     n_pool = pts6.shape[1]
     if n_pool <= 65536:
-        words = jax.random.bits(k, ((s + 1) // 2, C), jnp.uint32)
+        words = jax.random.bits(k, ((n_rows + 1) // 2, C), jnp.uint32)
         halves = [
             ((words >> (16 * h)) & jnp.uint32(0xFFFF)).astype(jnp.float32)
             for h in range(2)
         ]
-        u = jnp.concatenate(halves, axis=0)[:s] * jnp.float32(1.0 / 65536.0)
+        u = jnp.concatenate(halves, axis=0)[:n_rows] \
+            * jnp.float32(1.0 / 65536.0)
     else:
-        words = jax.random.bits(k, (s, C), jnp.uint32)
+        words = jax.random.bits(k, (n_rows, C), jnp.uint32)
         u = (words >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
     if cfg.prosac:
         h = chunk_id * C + jnp.arange(C, dtype=jnp.float32)
@@ -240,10 +253,23 @@ def _score_chunk(
         m = jnp.maximum(jnp.minimum(m, n_keep.astype(jnp.float32)), 1.0)
     else:
         m = jnp.full((C,), 1.0) * jnp.maximum(n_keep, 1).astype(jnp.float32)
-    draw = jnp.floor(u * m[None, :]).astype(jnp.int32)  # [s, C] in [0, m)
-    sample_idx = cand_idx[draw]                          # [s, C]
-
-    g = pts6[:, sample_idx]  # ONE gather -> [6, s, C], minor dim C (no padding)
+    if cfg.sample_reuse:
+        # one drawn point per hypothesis; sample j of hypothesis i is the
+        # draw of hypothesis (i + j*C/s) % C — ONE C-row random gather plus
+        # s-1 contiguous rolls instead of an s*C-row random gather
+        d = jnp.floor(u[0] * m).astype(jnp.int32)        # [C] in [0, m)
+        draw = jnp.stack(
+            [jnp.roll(d, -(j * C) // s) for j in range(s)]
+        )                                                 # [s, C]
+        rows = pts6[:, cand_idx[d]]                       # [6, C] one gather
+        g = jnp.stack(
+            [jnp.roll(rows, -(j * C) // s, axis=1) for j in range(s)],
+            axis=1,
+        )                                                 # [6, s, C]
+    else:
+        draw = jnp.floor(u * m[None, :]).astype(jnp.int32)  # [s, C] in [0, m)
+        sample_idx = cand_idx[draw]                          # [s, C]
+        g = pts6[:, sample_idx]  # ONE gather -> [6, s, C], minor dim C
 
     ok = jnp.ones((C,), bool)
     if cfg.use_elc:
@@ -389,7 +415,18 @@ def ransac_register(
 
     # --- stage 2: full scoring of the top-k stage-1 survivors --------------
     top = min(cfg.top_k, fitness.shape[0])
-    _, top_idx = lax.top_k(fitness, top)
+    K_total = fitness.shape[0]
+    if K_total > top and K_total % top == 0:
+        # group-max survivor selection: lax.top_k over ~1M fitness values
+        # costs more than stage 2 itself (v5e-profiled, CLAUDE.md); the best
+        # of each contiguous group always includes the global argmax, and
+        # stage 2 re-ranks survivors on the FULL correspondence set anyway
+        G = K_total // top
+        grp = fitness.reshape(top, G)
+        lane = jnp.argmax(grp, axis=1).astype(jnp.int32)
+        top_idx = jnp.arange(top, dtype=jnp.int32) * G + lane
+    else:
+        _, top_idx = lax.top_k(fitness, top)
     rt_top = rt_all[:, top_idx]  # [12, T]
     R_top = jnp.stack(
         [rt_top[0], rt_top[1], rt_top[2],

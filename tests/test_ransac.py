@@ -51,6 +51,18 @@ class TestRansac:
         ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
         assert bool(ok), f"RE={float(re):.2f} TE={float(te):.2f}"
 
+    def test_independent_sampling_path(self, rng):
+        # sample_reuse=False restores fully-independent minimal samples
+        # (the pre-round-3 engine); both paths must register the same pair
+        src, tgt, T_gt, _ = make_problem(rng)
+        for reuse in (False, True):
+            res = ransac_register(
+                jnp.asarray(src), jnp.asarray(tgt), jnp.ones(len(src), bool),
+                jax.random.PRNGKey(2), CFG_FAST._replace(sample_reuse=reuse),
+            )
+            ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
+            assert bool(ok), f"reuse={reuse} RE={float(re)} TE={float(te)}"
+
     def test_large_pool_tail_sampleable(self, rng):
         # Regression (round-1 judge): with >65536 candidates, 16-bit draws
         # made the pool tail unreachable. Pools larger than 65536 must use

@@ -147,7 +147,8 @@ def main():
     # preference order = measured NN-inlier-ratio/recall ranking in
     # BASELINE.md, NOT training length (the 100-epoch runs collapse —
     # see the matchability-collapse section)
-    for name in ("fcgf_synthetic_25ep.msgpack",
+    for name in ("fcgf_textured_30ep.msgpack",
+                 "fcgf_synthetic_25ep.msgpack",
                  "fcgf_distinct_100ep.msgpack",
                  "fcgf_synthetic_100ep.msgpack"):
         cand = os.path.join(wdir, name)

@@ -134,15 +134,44 @@ def main(argv=None):
                 )
             return step(state, batch)
 
+        from ..core.se3 import transform as se3_transform
+        from ..ops.knn import find_nn
+
+        @jax.jit
+        def _val_feats(variables, st0, st1):
+            o0 = model.apply(variables, st0, train=False)
+            o1 = model.apply(variables, st1, train=False)
+            return o0.feats, o0.valid, o1.feats, o1.valid
+
+        @jax.jit
+        def _inlier_ratio(F0, m0, F1, m1, xyz0, xyz1, T):
+            nn = find_nn(F0, F1, mask1=m1)
+            warped = se3_transform(xyz0, T)
+            d2 = jnp.sum((warped - xyz1[nn.idx]) ** 2, axis=1)
+            close = d2 < (2 * args.voxel_size) ** 2
+            return jnp.sum(close & m0) / jnp.maximum(jnp.sum(m0), 1)
+
         def val_metric(state):
-            # validation loss on a few pairs
-            losses = []
-            vstep = make_train_step(model, cfg._replace(lr=0.0), mesh=None)
+            # NN inlier ratio on FIXED validation pairs with eval-mode
+            # (running-stats) features — matchability IS the product
+            # metric. Selecting `model_best` by train/val LOSS picks
+            # collapsed embeddings: the hardest-contrastive loss keeps
+            # improving while feature effective rank falls to ~3 and NN
+            # matchability drops below random init (BASELINE.md round-3
+            # matchability-collapse section).
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            ratios = []
             for k in range(4):
-                b = sample_batch(val_ds, jax.random.PRNGKey(1000 + k))
-                _, m = vstep(state, b)
-                losses.append(float(m["loss"]))
-            return -float(np.mean(losses))  # higher is better
+                T, a, b = val_ds.get_pair(k % len(val_ds))
+                st0, xyz0 = voxelized(a)
+                st1, xyz1 = voxelized(b)
+                F0, m0, F1, m1 = _val_feats(variables, st0, st1)
+                ratios.append(float(_inlier_ratio(
+                    F0, m0, F1, m1, xyz0, xyz1,
+                    jnp.asarray(T.astype(np.float32)),
+                )))
+            return float(np.mean(ratios))
 
         params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
 

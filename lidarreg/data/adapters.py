@@ -151,16 +151,54 @@ class LyftLEVEL5(_FullBackedDataset):
     name = "LyftLEVEL5"
 
 
+def _wave_displacement(
+    rng: np.random.Generator,
+    pts: np.ndarray,
+    n_waves: int,
+    wl_lo: float,
+    wl_hi: float,
+    sigma: float,
+) -> np.ndarray:
+    """Smooth random vector field: sum of plane waves, std ~ `sigma` m.
+
+    Unique per scene seed; wavelengths in [wl_lo, wl_hi] m so the induced
+    curvature is visible inside a U-Net receptive field but the global
+    shape is preserved.
+    """
+    wl = rng.uniform(wl_lo, wl_hi, n_waves)
+    kdir = rng.normal(size=(n_waves, 3))
+    kdir /= np.linalg.norm(kdir, axis=1, keepdims=True)
+    kvec = (2 * np.pi / wl)[:, None] * kdir
+    phase = rng.uniform(0, 2 * np.pi, n_waves)
+    adir = rng.normal(size=(n_waves, 3))
+    adir /= np.linalg.norm(adir, axis=1, keepdims=True)
+    # per-wave amplitude ~ wavelength (red spectrum); normalized to sigma
+    amp = wl / np.sqrt((wl**2).sum() / 2.0) * sigma
+    ph = pts @ kvec.T + phase[None, :]          # [n, K]
+    return (np.cos(ph) * amp[None, :]) @ adir   # [n, 3]
+
+
 def synthesize_lidar_scene(rng: np.random.Generator, n: int) -> np.ndarray:
     """Deterministic LiDAR-like urban scene with DISTINCTIVE local geometry.
 
     Ground plane + a mix of structures whose local neighborhoods differ
     from one another — L-corner wall junctions, cylinders (poles/trunks),
-    box surfaces (parked cars), and plain wall segments. Metric learning
-    (FCGF hardest-contrastive) needs locally-distinctive geometry to reach
-    useful NN inlier ratios; plain self-similar wall strips cap the
-    descriptor quality regardless of training length (round-3 finding:
-    loss plateaus at ~0.885 with ~1% NN inlier ratio on wall-only scenes).
+    box surfaces (parked cars), and plain wall segments — then two layers
+    of geometric TEXTURE that make every local patch globally unique:
+
+      * ground micro-relief (short-wavelength height field, sigma 0.12 m):
+        a flat plane is locally identical everywhere, so 45% of points
+        would otherwise be fundamentally unmatchable;
+      * a smooth random warp of the WHOLE scene (wavelengths 2-9 m,
+        sigma 0.15 m): repeated primitives (every pole looks like every
+        other pole) are perfect aliases for metric learning — the warp
+        gives each instance a unique second-order shape.
+
+    Round-3 matchability finding (BASELINE.md): without texture the
+    hardest-contrastive optimum is DEGENERATE — feature effective rank
+    collapses to ~3 and NN matchability falls below the random-init
+    architecture prior; the loss plateaus at ~0.885 regardless of
+    training length. Texture makes descriptor learning well-posed.
     """
     n_ground = int(n * 0.45)
     ground = np.c_[
@@ -238,7 +276,19 @@ def synthesize_lidar_scene(rng: np.random.Generator, n: int) -> np.ndarray:
         extra = rng.uniform(-70, 70, (n - pts.shape[0], 2))
         pts = np.vstack([pts, np.c_[extra, rng.normal(0, 0.04,
                                                       (n - pts.shape[0], 1))]])
-    return pts[:n].astype(np.float32)
+    pts = pts[:n]
+
+    # ground micro-relief: z += height field(x, y) for near-ground points
+    # (only the z component is used: sigma 0.21 total -> ~0.12 m in z)
+    relief = _wave_displacement(
+        rng, np.c_[pts[:, :2], np.zeros(len(pts))], 16, 0.8, 3.0, 0.21
+    )[:, 2]
+    near_ground = pts[:, 2] < 0.5
+    pts[:, 2] += relief * near_ground
+
+    # smooth whole-scene warp: unique local shape for repeated primitives
+    pts = pts + _wave_displacement(rng, pts, 24, 2.0, 9.0, 0.15)
+    return pts.astype(np.float32)
 
 
 class SyntheticBalancedDataset:

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from ..sparse.hashtable import build_table
 from ..sparse.tensor import SparseTensor, downsample_coords, kernel_offsets
 from .fcgf import BasicBlockBN, SparseBatchNorm, SparseConvLayer
-from ..sparse.conv import invert_kernel_map, kernel_map, kernel_map_down
+from ..sparse.conv import (
+    invert_kernel_map,
+    kernel_map,
+    kernel_map_down,
+    prune_kernel_map,
+)
 
 
 def _mk_table(coords, valid, capacity):
@@ -38,8 +43,13 @@ class LevelStructs:
     """Per-level coords/valid/tables + lazily-built kernel maps."""
 
     def __init__(self, x: SparseTensor, n_levels: int, dim: int,
-                 level_capacity_div: Sequence[int]):
+                 level_capacity_div: Sequence[int],
+                 prune_offsets: int = 64, prune_tail_cap: int = 2048):
         self.dim = dim
+        # 6-D nets: compact maps to their busiest offsets (exact tail; see
+        # sparse/conv.py PrunedKernelMap) — the 3^6 im2col is the floor
+        self._prune = prune_offsets if dim >= 6 else 0
+        self._tail_cap = prune_tail_cap
         cap = x.capacity
         caps = [max(256, cap // level_capacity_div[min(i, len(level_capacity_div) - 1)])
                 for i in range(n_levels)]
@@ -59,15 +69,20 @@ class LevelStructs:
         ]
         self._kmaps = {}
 
+    def _maybe_prune(self, m):
+        if self._prune:
+            return prune_kernel_map(m, self._prune, self._tail_cap)
+        return m
+
     def km(self, in_lvl: int, out_lvl: int, k: int, units: int):
         """Kernel map reading level `in_lvl` onto level `out_lvl` coords."""
         key = (in_lvl, out_lvl, k, units)
         if key not in self._kmaps:
-            self._kmaps[key] = kernel_map(
+            self._kmaps[key] = self._maybe_prune(kernel_map(
                 self.tables[in_lvl], self.valid[in_lvl],
                 self.coords[out_lvl], self.valid[out_lvl],
                 kernel_offsets(k, units, self.dim),
-            )
+            ))
         return self._kmaps[key]
 
     def same(self, lvl: int, k: int = 3):
@@ -81,10 +96,14 @@ class LevelStructs:
         if k == 3:
             key = ("down", lvl)
             if key not in self._kmaps:
-                self._kmaps[key] = kernel_map_down(
+                # keep the FULL map too: up() inverts it (inverting a
+                # pruned map would lose the tail pairs)
+                full = kernel_map_down(
                     self.tables[lvl + 1], self.coords[lvl], self.valid[lvl],
                     self.coords[lvl + 1].shape[0], self.stride[lvl],
                 )
+                self._kmaps[("down_full", lvl)] = full
+                self._kmaps[key] = self._maybe_prune(full)
             return self._kmaps[key]
         return self.km(lvl, lvl + 1, k, self.stride[lvl])
 
@@ -94,9 +113,13 @@ class LevelStructs:
         # (J set-scatters instead of a J x V hash-lookup pass)
         key = ("up", lvl, k)
         if key not in self._kmaps:
-            self._kmaps[key] = invert_kernel_map(
-                self.down(lvl - 1, k), self.coords[lvl - 1].shape[0]
-            )
+            self.down(lvl - 1, k)   # ensure the full down map is cached
+            full = self._kmaps.get(("down_full", lvl - 1))
+            if full is None:
+                full = self.down(lvl - 1, k)
+            self._kmaps[key] = self._maybe_prune(invert_kernel_map(
+                full, self.coords[lvl - 1].shape[0]
+            ))
         return self._kmaps[key]
 
 

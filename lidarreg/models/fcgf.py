@@ -28,11 +28,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..sparse.conv import (
+    PrunedKernelMap,
     apply_conv,
     invert_kernel_map,
     kernel_map,
     kernel_map_down,
     kernel_map_stride1,
+    prune_kernel_map,
     table_for,
 )
 from ..sparse.hashtable import build_table
@@ -76,10 +78,17 @@ class SparseConvLayer(nn.Module):
             out = out * valid[:, None]
         elif self.ones_input and feats.shape[-1] == 1:
             h = kmap.hit.astype(cdt or jnp.float32)          # [J, V]
-            wk = w[:, 0, :] if cdt is None else w[:, 0, :].astype(cdt)
+            wsel = w if not isinstance(kmap, PrunedKernelMap) else w[kmap.off_id]
+            wk = wsel[:, 0, :] if cdt is None else wsel[:, 0, :].astype(cdt)
             out = jnp.einsum(
                 "jv,jd->vd", h, wk, preferred_element_type=jnp.float32
-            ) * valid[:, None]
+            )
+            if isinstance(kmap, PrunedKernelMap):
+                # tail hits contribute their offset's weight row directly
+                # (all-ones input: x[nb] == 1)
+                rows = w[kmap.tail_off, 0, :] * kmap.tail_ok[:, None]
+                out = out.at[kmap.tail_out].add(rows)
+            out = out * valid[:, None]
         else:
             out = apply_conv(feats, kmap, w, valid, compute_dtype=cdt)
         if self.use_bias:
@@ -164,6 +173,13 @@ class ResUNetBN2C(nn.Module):
     # drops voxels (and with it, padding invariance) — real LiDAR reduces
     # ~3-4x per stride level, synthetic/uniform clouds reduce far less.
     level_capacity_div: Sequence[int] = (1, 1, 2, 4)
+    # dim >= 6 only: compact every kernel map to its `prune_offsets`
+    # busiest offsets + an exact [prune_tail_cap] tail (sparse/conv.py
+    # PrunedKernelMap) — a 3^6 stencil over correspondence tensors is
+    # >99% masked misses, and the im2col gather is the DGR inlier-net
+    # floor. 0 disables.
+    prune_offsets: int = 64
+    prune_tail_cap: int = 2048
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
@@ -223,7 +239,7 @@ class ResUNetBN2C(nn.Module):
             )
             km1 = type(km1_c1)(km1_c1.nb[sel], km1_c1.hit[sel])
         else:
-            km1 = km(t1, v1, c1, v1, 3, s)                       # L1 blocks
+            km1 = km1_c1                  # k3 stem: blocks share the map
         km2 = km(t2, v2, c2, v2, 3, 2 * s)
         km4 = km(t4, v4, c4, v4, 3, 4 * s)
         km8 = km(t8, v8, c8, v8, 3, 8 * s)
@@ -239,6 +255,19 @@ class ResUNetBN2C(nn.Module):
         km_u84 = invert_kernel_map(km_d48, c4.shape[0])
         km_u42 = invert_kernel_map(km_d24, c2.shape[0])
         km_u21 = invert_kernel_map(km_d12, c1.shape[0])
+
+        if self.dim >= 6 and self.prune_offsets:
+            def pk(m):
+                return prune_kernel_map(
+                    m, self.prune_offsets, self.prune_tail_cap
+                )
+
+            same_stem = km1 is km1_c1
+            km1_c1 = pk(km1_c1)
+            km1 = km1_c1 if same_stem else pk(km1)
+            km2, km4, km8 = pk(km2), pk(km4), pk(km8)
+            km_d12, km_d24, km_d48 = pk(km_d12), pk(km_d24), pk(km_d48)
+            km_u84, km_u42, km_u21 = pk(km_u84), pk(km_u42), pk(km_u21)
 
         # ---- encoder ----------------------------------------------------- #
         no = lambda k: k**self.dim  # noqa: E731

@@ -41,6 +41,71 @@ class KernelMap(NamedTuple):
     hit: jnp.ndarray   # [J, Vo] bool  — neighbor exists and is valid
 
 
+class PrunedKernelMap(NamedTuple):
+    """Hit-count-compacted kernel map for very-high-J stencils (6-D nets).
+
+    A 3^6 = 729-offset stencil over DGR's correspondence tensor is almost
+    entirely empty: correspondences live near a 3-D manifold in 6-D space,
+    so measured hit mass concentrates in a handful of offsets (typically
+    just the center + a few diagonal neighbors; scripts/hitdist probe).
+    The im2col gather then moves J*Vo rows per conv of which >99% are
+    masked misses. This map keeps the `keep` highest-hit-count offsets in
+    dense [keep, Vo] im2col form and compacts EVERY remaining hit into a
+    flat [tail_cap] (offset, out_voxel, in_row) list — exact as long as
+    tail hits fit `tail_cap` (they number ~0-10 at benchmark scale; the
+    excess, if any, is dropped and counted in `tail_dropped`).
+
+    Shared per coordinate-set/offset-pattern like KernelMap: the pruning
+    cost (one cumsum over J*Vo) is paid once per level, not per conv.
+    """
+
+    nb: jnp.ndarray        # [keep, Vo]
+    hit: jnp.ndarray       # [keep, Vo]
+    off_id: jnp.ndarray    # [keep] original offset row (weights index)
+    tail_nb: jnp.ndarray   # [T] input row of each tail hit
+    tail_off: jnp.ndarray  # [T] offset row of each tail hit
+    tail_out: jnp.ndarray  # [T] output voxel of each tail hit
+    tail_ok: jnp.ndarray   # [T] slot occupied
+    tail_dropped: jnp.ndarray  # [] int32 — tail hits beyond tail_cap
+
+
+def prune_kernel_map(
+    kmap: KernelMap, keep: int, tail_cap: int = 2048
+) -> PrunedKernelMap | KernelMap:
+    """Compact a [J, Vo] kernel map to its `keep` busiest offsets + tail."""
+    J, Vo = kmap.nb.shape
+    if keep >= J:
+        return kmap
+    from jax import lax
+
+    hits = jnp.sum(kmap.hit, axis=1)                    # [J]
+    _, top = lax.top_k(hits, keep)
+    top = top.astype(jnp.int32)
+    nb = kmap.nb[top]
+    hit = kmap.hit[top]
+
+    is_top = jnp.zeros((J,), bool).at[top].set(True)
+    tail_hit = kmap.hit & (~is_top)[:, None]            # [J, Vo]
+    flat = tail_hit.ravel()
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1        # rank of each hit
+    n_tail = jnp.where(flat.shape[0] > 0, pos[-1] + 1, 0)
+    src = jnp.arange(J * Vo, dtype=jnp.int32)
+    tgt = jnp.where(flat & (pos < tail_cap), pos, tail_cap)
+    slots = (
+        jnp.full((tail_cap + 1,), -1, jnp.int32)
+        .at[tgt].set(src, mode="drop")[:tail_cap]
+    )
+    ok = slots >= 0
+    sl = jnp.maximum(slots, 0)
+    t_off = sl // Vo
+    t_out = sl - t_off * Vo
+    t_nb = kmap.nb.ravel()[sl]
+    return PrunedKernelMap(
+        nb, hit, top, t_nb, t_off, t_out, ok,
+        jnp.maximum(n_tail - tail_cap, 0),
+    )
+
+
 def table_for(x: SparseTensor, table_factor: int = 16) -> HashTable:
     # per-side entries; factor 16 => bucket load 0.25 at 4 lanes, so the
     # single-probe lookup's side-2 retry path fires ~never (hashtable.py)
@@ -224,9 +289,30 @@ def apply_conv(
     doubles MXU rate; accumulation stays f32 (`preferred_element_type`).
     Feature-space math tolerates bf16 (activations are BN-normalized O(1));
     geometry paths must NOT pass a reduced dtype.
+
+    A `PrunedKernelMap` routes through the compacted path: dense im2col on
+    the kept offsets (weights gathered by `off_id`) plus a [T]-row tail
+    einsum scatter-added into the output — exact vs the full map whenever
+    the tail fit its cap (see PrunedKernelMap).
     """
     x = in_feats if compute_dtype is None else in_feats.astype(compute_dtype)
     w = weights if compute_dtype is None else weights.astype(compute_dtype)
+
+    if isinstance(kmap, PrunedKernelMap):
+        out = apply_conv(
+            in_feats, KernelMap(kmap.nb, kmap.hit), weights[kmap.off_id],
+            out_valid, precision=precision, compute_dtype=compute_dtype,
+        )
+        xg = x[kmap.tail_nb] * kmap.tail_ok[:, None].astype(x.dtype)
+        wg = w[kmap.tail_off]                     # [T, Cin, Cout]
+        rows = jnp.einsum(
+            "tc,tcd->td", xg, wg,
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        # ok=False slots gathered x[0]*0 = zero rows -> adding them to
+        # voxel tail_out[0-slot]=0 is a no-op; no extra mask gather needed
+        return (out.at[kmap.tail_out].add(rows)) * out_valid[:, None]
+
     J, Vo = kmap.nb.shape
     cin = x.shape[-1]
 

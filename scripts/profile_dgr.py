@@ -1,89 +1,88 @@
-"""Per-stage cost breakdown of the DGR register path (TPU, jitted min-of-3).
+"""Time the DGR register end-to-end and its inlier-net forward alone.
 
-Splits DGR (solvers/dgr.py) into: feature NN, 6-D inlier-net forward,
-weighted-Procrustes + Adam refine, safeguard RANSAC — to direct the
-round-3 "DGR <= 3.5 s/pair" work (VERDICT r2 item 3).
+Measures the effect of PrunedKernelMap offset compaction (sparse/conv.py)
+on the 6-D ResUNetBN2C inlier net — VERDICT r2 item 3 target: DGR matrix
+row <= 3.5 s/pair at unchanged recall/TE.
 """
+from __future__ import annotations
+
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def timed(fn, *args, n=3):
-    import jax
+from lidarreg.utils.jaxcache import enable_persistent_cache
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+from lidarreg.models.fcgf import ResUNetBN2C
+from lidarreg.solvers.dgr import DGRConfig, make_dgr_register
+from lidarreg.sparse.tensor import SparseTensor
+from lidarreg.ops.voxelize import quantize_coords
+
+CAP = 16384
+VOX = 0.3
+
+
+def timeit(fn, n=5):
+    fn()  # compile
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        jax.block_until_ready(fn())
         ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3
+    return min(ts)
 
 
-def main(cap=16384):
-    import jax
-    import jax.numpy as jnp
+def main():
+    prune = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    rng = np.random.default_rng(0)
+    N = CAP
+    src = rng.uniform(-60, 60, (N, 3)).astype(np.float32)
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([3.0, -2.0, 0.3], np.float32)
+    inl = rng.random(N) < 0.3
+    tgt = np.where(inl[:, None], src @ R.T + t,
+                   rng.uniform(-60, 60, (N, 3))).astype(np.float32)
 
-    from lidarreg.utils.jaxcache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    from lidarreg.models.fcgf import ResUNetBN2C
-    from lidarreg.ops import voxelize_points
-    from lidarreg.ops.knn import find_nn
-    from lidarreg.ops.voxelize import quantize_coords
-    from lidarreg.solvers.dgr import DGRConfig, global_registration
-    from lidarreg.solvers.ransac import RansacConfig, ransac_register
-    from lidarreg.sparse.tensor import SparseTensor
-
-    sys.path.insert(0, "/root/repo")
-    from bench import build_pair
-
-    rng = np.random.default_rng(51)
-    ca, cb, T = build_pair(rng, n_raw=60000)
-    va = voxelize_points(jnp.asarray(ca), 0.3, cap)
-    vb = voxelize_points(jnp.asarray(cb), 0.3, cap)
-    xyz0 = jnp.asarray(ca)[va.indices]
-    xyz1 = jnp.asarray(cb)[vb.indices]
-    F0 = jax.random.normal(jax.random.PRNGKey(0), (cap, 32))
-    F1 = jax.random.normal(jax.random.PRNGKey(1), (cap, 32))
-    print(f"cap={cap}", flush=True)
-
-    cfg = DGRConfig()
-
-    nn_j = jax.jit(lambda a, b, m: find_nn(a, b, mask1=m, row_tile=cfg.nn_row_tile).idx)
-    ms = timed(nn_j, F0, F1, vb.valid)
-    print(f"find_nn 16k x 16k:        {ms:8.1f} ms", flush=True)
-    idx1 = nn_j(F0, F1, vb.valid)
-
-    c0 = quantize_coords(xyz0, 0.3)
-    c1 = quantize_coords(xyz1, 0.3)
-    coords6 = jnp.concatenate([c0, c1[idx1]], axis=1)
+    F0 = jnp.asarray(rng.normal(size=(N, 32)).astype(np.float32))
+    F1 = jnp.asarray(np.where(inl[:, None], np.asarray(F0),
+                              rng.normal(size=(N, 32))).astype(np.float32))
+    xyz0 = jnp.asarray(src)
+    xyz1 = jnp.asarray(tgt)
+    m = jnp.ones((N,), bool)
+    c0 = quantize_coords(xyz0, VOX)
+    c1 = quantize_coords(xyz1, VOX)
 
     model = ResUNetBN2C(dim=6, out_channels=1, conv1_kernel_size=3,
-                        normalize_feature=False)
-    st6 = SparseTensor(coords6, jnp.ones((cap, 1)), va.valid, 1)
-    ivars = model.init(jax.random.PRNGKey(2), st6, train=False)
-    fwd = jax.jit(lambda v, s: model.apply(v, s, train=False).feats)
-    print("compiling inlier-net forward...", flush=True)
-    ms = timed(fwd, ivars, st6)
-    print(f"6-D inlier-net forward:   {ms:8.1f} ms", flush=True)
+                        normalize_feature=False, prune_offsets=prune)
+    dummy = SparseTensor(jnp.zeros((CAP, 6), jnp.int32),
+                         jnp.ones((CAP, 1)), jnp.ones((CAP,), bool), 1)
+    ivars = model.init(jax.random.PRNGKey(2), dummy, train=False)
 
-    w = jax.nn.sigmoid(fwd(ivars, st6)[:, 0]) * va.valid
-    greg = jax.jit(lambda s, t, w: global_registration(s, t, w)[1])
-    ms = timed(greg, xyz0, xyz1[idx1], w)
-    print(f"procrustes+adam refine:   {ms:8.1f} ms", flush=True)
+    # inlier net forward alone
+    fwd = jax.jit(lambda v, s: model.apply(v, s, train=False))
+    coords6 = jnp.concatenate([c0, c1], axis=1)
+    st6 = SparseTensor(coords6, jnp.ones((CAP, 1)), m, 1)
+    t_fwd = timeit(lambda: fwd(ivars, st6).feats)
+    print(f"prune={prune}: inlier-net fwd @{CAP}: {t_fwd*1e3:.1f} ms",
+          flush=True)
 
-    rcfg = RansacConfig(num_hypotheses=80_000, inlier_thresh=0.6,
-                        prosac=False, use_elc=True)
-    sg = jax.jit(lambda s, t, m, k: ransac_register(s, t, m, k, rcfg).transform)
-    ms = timed(sg, xyz0, xyz1[idx1], va.valid, jax.random.PRNGKey(3))
-    print(f"safeguard RANSAC-80k:     {ms:8.1f} ms", flush=True)
+    dgr = make_dgr_register(model, ivars, DGRConfig(voxel_size=VOX))
+    key = jax.random.PRNGKey(0)
+    t_all = timeit(
+        lambda: dgr(F0, F1, xyz0, xyz1, c0, c1, m, m, key).transform
+    )
+    print(f"prune={prune}: DGR register e2e: {t_all*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16384)
+    main()

@@ -396,3 +396,87 @@ class TestScatterSideDownMap:
 
     def test_6d(self, rng):
         self._check(rng, 6, 1, cap=256)
+
+
+class TestPrunedKernelMap:
+    """prune_kernel_map + apply_conv == full apply_conv (exact when the
+    tail fits its cap); the 6-D DGR inlier-net path relies on this."""
+
+    def _dense_6d(self, rng, n=180, cap=256):
+        # clustered coords so some offsets DO hit (worst case for pruning)
+        base = rng.integers(-4, 4, size=(n // 3, 6))
+        jitter = rng.integers(-1, 2, size=(n, 6))
+        coords = np.unique(
+            (np.repeat(base, 3, axis=0)[:n] + jitter).astype(np.int32),
+            axis=0,
+        )
+        v = len(coords)
+        full = np.concatenate(
+            [coords, np.full((cap - v, 6), 2**20, np.int32)]
+        )
+        valid = np.arange(cap) < v
+        return jnp.asarray(full), jnp.asarray(valid)
+
+    def test_matches_full_conv(self, rng):
+        from lidarreg.sparse.conv import (
+            apply_conv,
+            kernel_map,
+            prune_kernel_map,
+            table_for,
+        )
+
+        coords, valid = self._dense_6d(rng)
+        cap = coords.shape[0]
+        x = SparseTensor(coords, jnp.zeros((cap, 1)), valid, 1)
+        table = table_for(x)
+        offs = kernel_offsets(3, 1, 6)
+        km = kernel_map(table, valid, coords, valid, offs)
+        feats = jnp.asarray(
+            rng.normal(size=(cap, 8)).astype(np.float32)
+        ) * valid[:, None]
+        w = jnp.asarray(rng.normal(size=(729, 8, 4)).astype(np.float32))
+        ref = apply_conv(feats, km, w, valid, precision="highest")
+
+        n_nonzero = int(jnp.sum(jnp.sum(km.hit, axis=1) > 0))
+        for keep in (16, 64):
+            pkm = prune_kernel_map(km, keep, tail_cap=4096)
+            assert int(pkm.tail_dropped) == 0, "tail cap must hold the rest"
+            got = apply_conv(feats, pkm, w, valid, precision="highest")
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+            )
+        assert n_nonzero > 16, "test must exercise a NON-empty tail"
+
+    def test_keep_geq_j_passthrough(self, rng):
+        from lidarreg.sparse.conv import (
+            KernelMap,
+            prune_kernel_map,
+        )
+
+        km = KernelMap(
+            jnp.zeros((27, 8), jnp.int32), jnp.zeros((27, 8), bool)
+        )
+        assert prune_kernel_map(km, 27) is km
+
+    def test_dgr_inlier_net_pruned_forward(self, rng):
+        # the full 6-D ResUNetBN2C with pruning on vs off (tiny channels)
+        from lidarreg.models.fcgf import ResUNetBN2C
+
+        coords, valid = self._dense_6d(rng)
+        cap = coords.shape[0]
+        st = SparseTensor(coords, jnp.ones((cap, 1)), valid, 1)
+        kw = dict(
+            dim=6, out_channels=1, normalize_feature=False,
+            conv1_kernel_size=3, channels=(0, 4, 8, 8, 8),
+            tr_channels=(0, 4, 4, 4, 4), compute_dtype=None,
+        )
+        m_full = ResUNetBN2C(prune_offsets=0, **kw)
+        m_pruned = ResUNetBN2C(prune_offsets=32, prune_tail_cap=8192, **kw)
+        import jax
+
+        var = m_full.init(jax.random.PRNGKey(0), st, train=False)
+        a = m_full.apply(var, st, train=False)
+        b = m_pruned.apply(var, st, train=False)
+        np.testing.assert_allclose(
+            np.asarray(a.feats), np.asarray(b.feats), rtol=2e-4, atol=2e-4
+        )

@@ -447,6 +447,45 @@ class TestPrunedKernelMap:
             )
         assert n_nonzero > 16, "test must exercise a NON-empty tail"
 
+    def test_gradients_match_full_conv(self, rng):
+        # the DGR inlier net TRAINS through the pruned path: d(loss)/d(w)
+        # and d(loss)/d(x) must match the full map (incl. tail scatter-add)
+        import jax
+
+        from lidarreg.sparse.conv import (
+            apply_conv,
+            kernel_map,
+            prune_kernel_map,
+            table_for,
+        )
+
+        coords, valid = self._dense_6d(rng)
+        cap = coords.shape[0]
+        x = SparseTensor(coords, jnp.zeros((cap, 1)), valid, 1)
+        table = table_for(x)
+        offs = kernel_offsets(3, 1, 6)
+        km = kernel_map(table, valid, coords, valid, offs)
+        pkm = prune_kernel_map(km, 16, tail_cap=4096)
+        feats = jnp.asarray(
+            rng.normal(size=(cap, 8)).astype(np.float32)
+        ) * valid[:, None]
+        w = jnp.asarray(rng.normal(size=(729, 8, 4)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(cap, 4)).astype(np.float32))
+
+        def loss(m):
+            return lambda f, ww: jnp.sum(
+                apply_conv(f, m, ww, valid, precision="highest") * cot
+            )
+
+        gx_f, gw_f = jax.grad(loss(km), argnums=(0, 1))(feats, w)
+        gx_p, gw_p = jax.grad(loss(pkm), argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(
+            np.asarray(gx_p), np.asarray(gx_f), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw_p), np.asarray(gw_f), rtol=1e-5, atol=1e-5
+        )
+
     def test_keep_geq_j_passthrough(self, rng):
         from lidarreg.sparse.conv import (
             KernelMap,

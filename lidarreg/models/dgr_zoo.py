@@ -113,10 +113,18 @@ class LevelStructs:
         # (J set-scatters instead of a J x V hash-lookup pass)
         key = ("up", lvl, k)
         if key not in self._kmaps:
-            self.down(lvl - 1, k)   # ensure the full down map is cached
-            full = self._kmaps.get(("down_full", lvl - 1))
-            if full is None:
-                full = self.down(lvl - 1, k)
+            if k == 3:
+                self.down(lvl - 1, k)   # caches the full fine-side map
+                full = self._kmaps[("down_full", lvl - 1)]
+            else:
+                # inversion needs the UNPRUNED map (a pruned one would
+                # lose the tail and misalign weight rows) — build it
+                # directly, bypassing km()'s pruning
+                full = kernel_map(
+                    self.tables[lvl - 1], self.valid[lvl - 1],
+                    self.coords[lvl], self.valid[lvl],
+                    kernel_offsets(k, self.stride[lvl - 1], self.dim),
+                )
             self._kmaps[key] = self._maybe_prune(invert_kernel_map(
                 full, self.coords[lvl - 1].shape[0]
             ))

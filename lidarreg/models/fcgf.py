@@ -30,15 +30,21 @@ import jax.numpy as jnp
 from ..sparse.conv import (
     PrunedKernelMap,
     apply_conv,
+    down_queries,
     invert_kernel_map,
-    kernel_map,
     kernel_map_down,
     kernel_map_stride1,
     prune_kernel_map,
+    stride1_queries,
     table_for,
 )
-from ..sparse.hashtable import build_table
-from ..sparse.tensor import SparseTensor, downsample_coords, kernel_offsets
+from ..sparse.hashtable import HashTable, build_table, lookup_grouped
+from ..sparse.tensor import (
+    SparseTensor,
+    downsample_coords,
+    downsample_pyramid,
+    kernel_offsets,
+)
 
 
 class SparseConvLayer(nn.Module):
@@ -180,6 +186,12 @@ class ResUNetBN2C(nn.Module):
     # floor. 0 disables.
     prune_offsets: int = 64
     prune_tail_cap: int = 2048
+    # Fuse the per-level structure build: ONE batched sort for all three
+    # downsample levels (sparse/tensor.downsample_pyramid) and ONE vmapped
+    # claim-round program for all four hash tables, instead of 3 + 4
+    # serialized passes (~80 of the 146 ms forward on v5e is structure
+    # build; BASELINE.md roofline). False = the round-2 serialized path.
+    fused_build: bool = True
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
@@ -195,33 +207,95 @@ class ResUNetBN2C(nn.Module):
 
         # ---- coordinate sets, tables, kernel maps (once per level) ------ #
         c1, v1 = x.coords, x.valid
-        t1 = table_for(x)
-        c2, v2 = downsample_coords(c1, v1, s, caps[1])
-        c4, v4 = downsample_coords(c2, v2, 2 * s, caps[2])
-        c8, v8 = downsample_coords(c4, v4, 4 * s, caps[3])
+        if self.fused_build:
+            import jax
 
-        def mk_table(coords, valid, capacity):
-            # per-side entries at table_factor 16: bucket load 0.25 at 4
-            # lanes -> the 1-probe lookup's retry path fires ~never
+            (c2, v2), (c4, v4), (c8, v8) = downsample_pyramid(
+                c1, v1, s, caps[1:]
+            )
+            # all four tables at the LEVEL-0 sizing (table_factor 16 on the
+            # input capacity): equal shapes let one vmapped build replace
+            # four serialized claim-round programs. Coarser levels get an
+            # even lower bucket load — lookups stay single-probe.
             size = 1
-            while size < 16 * capacity:
+            while size < 16 * cap:
                 size *= 2
-            table, _ = build_table(coords, valid, size)
-            return table
 
-        t2 = mk_table(c2, v2, caps[1])
-        t4 = mk_table(c4, v4, caps[2])
-        t8 = mk_table(c8, v8, caps[3])
+            def padto(c, v):
+                p = cap - c.shape[0]
+                if p:
+                    c = jnp.concatenate(
+                        [c, jnp.zeros((p, c.shape[1]), jnp.int32)]
+                    )
+                    v = jnp.concatenate([v, jnp.zeros((p,), bool)])
+                return c, v
 
-        def km(table, tv, coords, valid, k, units):
-            offs = kernel_offsets(k, units, self.dim)
-            if valid is tv:
-                # stride-1 same-coordinate-set map: symmetric-stencil halving
-                # (half the hash lookups; mirror half by set-scatter)
-                return kernel_map_stride1(table, tv, coords, offs)
-            return kernel_map(table, tv, coords, valid, offs)
+            pcs, pvs = zip(*(padto(c, v) for c, v in
+                             ((c1, v1), (c2, v2), (c4, v4), (c8, v8))))
+            tabs, _ = jax.vmap(
+                lambda c, v: build_table(c, v, size)
+            )(jnp.stack(pcs), jnp.stack(pvs))
+            t1, t2, t4, t8 = (
+                HashTable(tabs.table[i], tabs.mask[i]) for i in range(4)
+            )
+        else:
+            t1 = table_for(x)
+            c2, v2 = downsample_coords(c1, v1, s, caps[1])
+            c4, v4 = downsample_coords(c2, v2, 2 * s, caps[2])
+            c8, v8 = downsample_coords(c4, v4, 4 * s, caps[3])
 
-        km1_c1 = km(t1, v1, c1, v1, self.conv1_kernel_size, s)   # conv1 (k5)
+            def mk_table(coords, valid, capacity):
+                # per-side entries at table_factor 16: bucket load 0.25 at 4
+                # lanes -> the 1-probe lookup's retry path fires ~never
+                size = 1
+                while size < 16 * capacity:
+                    size *= 2
+                table, _ = build_table(coords, valid, size)
+                return table
+
+            t2 = mk_table(c2, v2, caps[1])
+            t4 = mk_table(c4, v4, caps[2])
+            t8 = mk_table(c8, v8, caps[3])
+
+        offs1 = kernel_offsets(self.conv1_kernel_size, s, self.dim)
+        offs2 = kernel_offsets(3, 2 * s, self.dim)
+        offs4 = kernel_offsets(3, 4 * s, self.dim)
+        offs8 = kernel_offsets(3, 8 * s, self.dim)
+        if self.fused_build:
+            # EVERY hash probe of the forward — four symmetric-stencil
+            # stride-1 maps + three fine-side down maps — in ONE
+            # lookup_grouped call: one gather program, one retry pool
+            # (sparse/hashtable.py), instead of 7 serialized lookups
+            rows = lookup_grouped(tabs, [
+                (0, stride1_queries(c1, offs1)),
+                (1, stride1_queries(c2, offs2)),
+                (2, stride1_queries(c4, offs4)),
+                (3, stride1_queries(c8, offs8)),
+                (1, down_queries(c1, s)[0]),
+                (2, down_queries(c2, 2 * s)[0]),
+                (3, down_queries(c4, 4 * s)[0]),
+            ])
+            km1_c1 = kernel_map_stride1(t1, v1, c1, offs1, nb_half=rows[0])
+            km2 = kernel_map_stride1(t2, v2, c2, offs2, nb_half=rows[1])
+            km4 = kernel_map_stride1(t4, v4, c4, offs4, nb_half=rows[2])
+            km8 = kernel_map_stride1(t8, v8, c8, offs8, nb_half=rows[3])
+            km_d12 = kernel_map_down(
+                t2, c1, v1, c2.shape[0], s, o_row=rows[4])
+            km_d24 = kernel_map_down(
+                t4, c2, v2, c4.shape[0], 2 * s, o_row=rows[5])
+            km_d48 = kernel_map_down(
+                t8, c4, v4, c8.shape[0], 4 * s, o_row=rows[6])
+        else:
+            km1_c1 = kernel_map_stride1(t1, v1, c1, offs1)
+            km2 = kernel_map_stride1(t2, v2, c2, offs2)
+            km4 = kernel_map_stride1(t4, v4, c4, offs4)
+            km8 = kernel_map_stride1(t8, v8, c8, offs8)
+            # stride-2 conv (down) maps derived from the FINE side: 2^dim
+            # coarse-table lookups per input voxel instead of 3^dim
+            # fine-table probes per output voxel (sparse/conv.py)
+            km_d12 = kernel_map_down(t2, c1, v1, c2.shape[0], s)
+            km_d24 = kernel_map_down(t4, c2, v2, c4.shape[0], 2 * s)
+            km_d48 = kernel_map_down(t8, c4, v4, c8.shape[0], 4 * s)
         if self.conv1_kernel_size > 3:
             # the 3^dim offsets are a subset of the conv1 kernel's offsets at
             # the same stride, so the L1-blocks map is a row-slice of km1_c1
@@ -240,15 +314,6 @@ class ResUNetBN2C(nn.Module):
             km1 = type(km1_c1)(km1_c1.nb[sel], km1_c1.hit[sel])
         else:
             km1 = km1_c1                  # k3 stem: blocks share the map
-        km2 = km(t2, v2, c2, v2, 3, 2 * s)
-        km4 = km(t4, v4, c4, v4, 3, 4 * s)
-        km8 = km(t8, v8, c8, v8, 3, 8 * s)
-        # stride-2 conv (down) maps derived from the FINE side: 2^dim
-        # coarse-table lookups per input voxel instead of 3^dim fine-table
-        # probes per output voxel (sparse/conv.py kernel_map_down)
-        km_d12 = kernel_map_down(t2, c1, v1, c2.shape[0], s)
-        km_d24 = kernel_map_down(t4, c2, v2, c4.shape[0], 2 * s)
-        km_d48 = kernel_map_down(t8, c4, v4, c8.shape[0], 4 * s)
         # conv_tr (up) maps are exact inversions of the down maps — J
         # set-scatters instead of a J x V hash-lookup pass (sparse/conv.py
         # invert_kernel_map)

@@ -29,11 +29,16 @@ TPU-first design (no sequential iteration loop):
   GC-RANSAC's sequential graph-cut local optimization (documented deviation;
   SURVEY.md §7 hard-part 3).
 
-Confidence-based early termination (RANSACConvergenceCriteria, SPRT) is
-control-flow-hostile under XLA; we run a fixed hypothesis budget instead —
-at >=10^5 hypotheses per launch this is both faster and statistically
-stronger than the reference's early-exit schedule. The `iters` CLI knob maps
-directly onto `num_hypotheses`.
+Confidence-based early termination (Open3D RANSACConvergenceCriteria,
+conf=0.9995 — FR.py:136) runs at CHUNK granularity: a `lax.while_loop`
+draws 65k-hypothesis chunks until the drawn count exceeds
+log(1-conf)/log(1-e^s) for the best stage-2 inlier ratio e so far. That
+keeps the control flow XLA-friendly (fixed-shape chunk programs, trip
+count data-dependent) while matching the reference's semantics: easy
+pairs (high post-GPF inlier ratios, the benchmark regime) terminate after
+one chunk, hard pairs still consume the full `num_hypotheses` budget.
+`confidence=0.0` restores the fixed-budget behavior. The `iters` CLI knob
+maps directly onto `num_hypotheses`.
 
 PROSAC deviation note: true PROSAC's n-th draw comes from a growth function
 over sorted qualities (gcransac PROSAC sampler); we use the linear schedule
@@ -88,6 +93,15 @@ class RansacConfig(NamedTuple):
     # RANSAC exists for — measured 13% vs 40% recall at 5% inliers / 262k
     # hypotheses (scripts/reuse_ablation.py, BASELINE.md negative ablation).
     sample_reuse: bool = False
+    # Confidence-based early termination (Open3D RANSACConvergenceCriteria
+    # semantics, FR.py:136 conf=0.9995): after each chunk, stop once the
+    # number of drawn hypotheses exceeds log(1-conf)/log(1-e^s) for the best
+    # inlier ratio e seen so far. Runs as a lax.while_loop over chunks —
+    # high-inlier pairs (the benchmark regime after GPF) terminate after the
+    # first chunk; low-inlier pairs still use the full budget. 0.0 = fixed
+    # budget (the round-2 behavior; statistically stronger, but pays the
+    # worst case on every pair).
+    confidence: float = 0.9995
 
 
 class RansacResult(NamedTuple):
@@ -409,38 +423,85 @@ def ransac_register(
         cfg=cfg,
         total_hyps=n_chunks * cfg.chunk_size,
     )
-    fitness, rt_all = lax.map(score_fn, jnp.arange(n_chunks, dtype=jnp.int32))
-    fitness = fitness.reshape(-1)                       # [K]
-    rt_all = jnp.moveaxis(rt_all, 1, 0).reshape(12, -1)  # [12, K]
+    C = cfg.chunk_size
+    top = min(cfg.top_k, C)
 
-    # --- stage 2: full scoring of the top-k stage-1 survivors --------------
-    top = min(cfg.top_k, fitness.shape[0])
-    K_total = fitness.shape[0]
-    if K_total > top and K_total % top == 0:
-        # group-max survivor selection: lax.top_k over ~1M fitness values
-        # costs more than stage 2 itself (v5e-profiled, CLAUDE.md); the best
-        # of each contiguous group always includes the global argmax, and
-        # stage 2 re-ranks survivors on the FULL correspondence set anyway
-        G = K_total // top
-        grp = fitness.reshape(top, G)
-        lane = jnp.argmax(grp, axis=1).astype(jnp.int32)
-        top_idx = jnp.arange(top, dtype=jnp.int32) * G + lane
+    def chunk_best(chunk_id):
+        """Stage-1 score one chunk, stage-2 score its survivors on the full
+        set; return (best stage-2 inlier count, its [12] Rt)."""
+        fitness, rt = score_fn(chunk_id)               # [C], [12, C]
+        if C > top and C % top == 0:
+            # group-max survivor selection: lax.top_k over 65k fitness
+            # values costs more than stage 2 itself (v5e-profiled,
+            # CLAUDE.md); the best of each contiguous group always includes
+            # the chunk argmax, and stage 2 re-ranks survivors on the FULL
+            # correspondence set anyway
+            G = C // top
+            grp = fitness.reshape(top, G)
+            lane = jnp.argmax(grp, axis=1).astype(jnp.int32)
+            top_idx = jnp.arange(top, dtype=jnp.int32) * G + lane
+        else:
+            _, top_idx = lax.top_k(fitness, top)
+        rt_top = rt[:, top_idx]  # [12, T]
+        R_top = jnp.stack(
+            [rt_top[0], rt_top[1], rt_top[2],
+             rt_top[3], rt_top[4], rt_top[5],
+             rt_top[6], rt_top[7], rt_top[8]], axis=-1
+        ).reshape(-1, 3, 3)
+        t_top = jnp.stack([rt_top[9], rt_top[10], rt_top[11]], axis=-1)
+        counts, _ = _count_inliers(
+            R_top, t_top, src, tgt, keep, cfg.inlier_thresh
+        )
+        # a stage-1 rejection (ELC / degenerate sample) stays rejected
+        counts = jnp.where(fitness[top_idx] >= 0, counts, -1)
+        b = jnp.argmax(counts)
+        return counts[b], rt_top[:, b]
+
+    def merge(carry, chunk_id):
+        bc, brt = carry
+        c, rtb = chunk_best(chunk_id)
+        better = c > bc
+        return jnp.where(better, c, bc), jnp.where(better, rtb, brt)
+
+    init = (jnp.int32(-1), jnp.zeros((12,), src.dtype))
+    if 0.0 < cfg.confidence < 1.0 and n_chunks > 1:
+        # Open3D RANSACConvergenceCriteria (FR.py:136): stop once the drawn
+        # hypothesis count exceeds log(1-conf)/log(1-e^s) for the best
+        # inlier ratio e so far. Chunks run under lax.while_loop, so easy
+        # pairs terminate after one chunk; divergent trip counts are safe
+        # under shard_map (no collective inside the loop).
+        import math
+
+        log1mconf = math.log(1.0 - cfg.confidence)
+
+        def cond(carry):
+            i, bc, _ = carry
+            e = bc.astype(jnp.float32) / jnp.maximum(
+                n_keep, 1
+            ).astype(jnp.float32)
+            p_good = jnp.clip(e, 0.0, 1.0) ** cfg.sample_size
+            # log1p(-p) <= 0; pin strictly negative so p_good=0 gives
+            # needed=+inf (run the full budget), not a 0/0
+            denom = jnp.minimum(jnp.log1p(-p_good), -1e-12)
+            needed = log1mconf / denom
+            return (i < n_chunks) & (i.astype(jnp.float32) * C < needed)
+
+        def body(carry):
+            i, bc, brt = carry
+            bc2, brt2 = merge((bc, brt), i)
+            return i + 1, bc2, brt2
+
+        _, best_count, rt_best = lax.while_loop(
+            cond, body, (jnp.int32(0),) + init
+        )
     else:
-        _, top_idx = lax.top_k(fitness, top)
-    rt_top = rt_all[:, top_idx]  # [12, T]
-    R_top = jnp.stack(
-        [rt_top[0], rt_top[1], rt_top[2],
-         rt_top[3], rt_top[4], rt_top[5],
-         rt_top[6], rt_top[7], rt_top[8]], axis=-1
-    ).reshape(-1, 3, 3)
-    t_top = jnp.stack([rt_top[9], rt_top[10], rt_top[11]], axis=-1)
-    counts, _ = _count_inliers(R_top, t_top, src, tgt, keep, cfg.inlier_thresh)
-    # a hypothesis rejected in stage 1 (ELC / degenerate sample) stays rejected
-    counts = jnp.where(fitness[top_idx] >= 0, counts, -1)
-    best = jnp.argmax(counts)
-    R_best = R_top[best]
-    t_best = t_top[best]
-    best_count = counts[best]
+        (best_count, rt_best), _ = lax.scan(
+            lambda c, i: (merge(c, i), None),
+            init,
+            jnp.arange(n_chunks, dtype=jnp.int32),
+        )
+    R_best = rt_best[:9].reshape(3, 3)
+    t_best = rt_best[9:]
 
     # --- iterated LS refit on the refit set (LO substitute) ----------------
     def refit_body(_, carry):

@@ -140,11 +140,18 @@ def kernel_map(
     return KernelMap(nb_safe, hit)
 
 
+def stride1_queries(coords: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Lookup queries for `kernel_map_stride1`'s first J//2 offsets."""
+    half = offsets.shape[0] // 2
+    return coords[None, :, :] + offsets[:half, None, :]
+
+
 def kernel_map_stride1(
     in_table: HashTable,
     valid: jnp.ndarray,
     coords: jnp.ndarray,
     offsets: jnp.ndarray,
+    nb_half: jnp.ndarray | None = None,
 ) -> KernelMap:
     """Stride-1 (same coordinate set) kernel map at HALF the lookup cost.
 
@@ -155,12 +162,17 @@ def kernel_map_stride1(
     set-scatter (~free on v5e vs ~8.75 ns/row gathers — CLAUDE.md), and the
     center row is the identity map. Exact — not an approximation (voxel
     coords are unique, so the scatter has no index conflicts).
+
+    Pass `nb_half` (a `lookup`/`lookup_grouped` result over
+    `stride1_queries`) to skip the probe — the fused forward batches every
+    level's probes into one `lookup_grouped` call.
     """
     J = offsets.shape[0]
     V = coords.shape[0]
     assert J % 2 == 1, "hypercube stencils have odd offset counts"
     half = J // 2
-    nb_half = lookup(in_table, coords[None, :, :] + offsets[:half, None, :])
+    if nb_half is None:
+        nb_half = lookup(in_table, stride1_queries(coords, offsets))
     # nb >= 0 already implies the neighbor is valid: the table is built
     # with this same `valid` mask (kernel_map contract above), so the
     # valid[nb] re-check would be a half*V-row gather of waste
@@ -188,6 +200,32 @@ def kernel_map_stride1(
     return KernelMap(nb, hit)
 
 
+def down_queries(in_coords: jnp.ndarray, stride: int):
+    """Coarse-table queries + offset indices for `kernel_map_down`.
+
+    Returns (q [2^d, Vi, d] candidate parent coords, j_idx [2^d, Vi] offset
+    row in the 3^d `kernel_offsets` enumeration).
+    """
+    vi, d = in_coords.shape
+    s = jnp.int32(stride)
+    s2 = jnp.int32(2 * stride)
+    r = in_coords - (in_coords // s2) * s2            # [Vi, d]
+    odd = r == s
+    qs, js = [], []
+    for b in range(1 << d):
+        bits = jnp.asarray(
+            [(b >> (d - 1 - k)) & 1 for k in range(d)], jnp.int32
+        )
+        off = jnp.where(odd, (2 * bits[None, :] - 1) * s, 0)   # [Vi, d]
+        qs.append(in_coords - off)
+        # offset index in the kernel_offsets enumeration (meshgrid 'ij':
+        # LAST axis fastest): j = sum_k (off_k/s + 1) * 3^(d-1-k)
+        idx = off // s + 1
+        w3 = jnp.asarray([3 ** (d - 1 - k) for k in range(d)], jnp.int32)
+        js.append(jnp.sum(idx * w3[None, :], axis=1))
+    return jnp.stack(qs), jnp.stack(js)
+
+
 def kernel_map_down(
     out_table: HashTable,
     in_coords: jnp.ndarray,
@@ -195,6 +233,7 @@ def kernel_map_down(
     n_out: int,
     stride: int,
     kernel_size: int = 3,
+    o_row: jnp.ndarray | None = None,
 ) -> KernelMap:
     """Stride-2 (k=3) kernel map derived from the FINE side: 2^dim lookups
     per input voxel instead of 3^dim per output voxel.
@@ -216,28 +255,12 @@ def kernel_map_down(
     """
     assert kernel_size == 3, "derivation assumes radius-1 stencils"
     vi, d = in_coords.shape
-    s = jnp.int32(stride)
-    s2 = jnp.int32(2 * stride)
-    # component parity on the 2s lattice: r in {0, s} (floor-mod, coords
-    # may be negative)
-    r = in_coords - (in_coords // s2) * s2            # [Vi, d]
-    odd = r == s
     rows_i = jnp.arange(vi, dtype=jnp.int32)
-    qs, js = [], []
-    for b in range(1 << d):
-        bits = jnp.asarray(
-            [(b >> (d - 1 - k)) & 1 for k in range(d)], jnp.int32
-        )
-        off = jnp.where(odd, (2 * bits[None, :] - 1) * s, 0)   # [Vi, d]
-        qs.append(in_coords - off)
-        # offset index in the kernel_offsets enumeration (meshgrid 'ij':
-        # LAST axis fastest): j = sum_k (off_k/s + 1) * 3^(d-1-k)
-        idx = off // s + 1
-        w3 = jnp.asarray([3 ** (d - 1 - k) for k in range(d)], jnp.int32)
-        js.append(jnp.sum(idx * w3[None, :], axis=1))
-    q = jnp.stack(qs)                                  # [2^d, Vi, d]
-    j_idx = jnp.stack(js)                              # [2^d, Vi]
-    o_row = lookup(out_table, q)                       # [2^d, Vi]
+    # component parity on the 2s lattice picks the candidate parents
+    # (floor-mod: coords may be negative) — see down_queries
+    q, j_idx = down_queries(in_coords, stride)         # [2^d, Vi, (d)]
+    if o_row is None:
+        o_row = lookup(out_table, q)                   # [2^d, Vi]
     J = 3**d
     ok = (o_row >= 0) & in_valid[None, :]
     tgt = jnp.where(ok, j_idx * n_out + o_row, J * n_out).ravel()

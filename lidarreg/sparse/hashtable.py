@@ -177,28 +177,21 @@ def _resolve(entries, query, lanes, d):
     return jnp.max(jnp.where(m, rowval, -1), axis=-1)
 
 
-def lookup(
-    table: HashTable, query: jnp.ndarray, retry_capacity: int | None = None
+def _lookup_rows(
+    flat_table: jnp.ndarray,   # [R, LANES*(D+1)] — one or more stacked tables
+    row1: jnp.ndarray,         # [nq] side-1 bucket row per query
+    row2: jnp.ndarray,         # [nq] side-2 bucket row per query
+    q: jnp.ndarray,            # [nq, D] query coords
+    lanes: int,
+    retry_capacity: int | None = None,
 ) -> jnp.ndarray:
-    """Find row indices for query coords [..., D]; -1 where absent.
-
-    ONE packed gather + a LANES-wide compare; queries that miss an
-    overflow-flagged bucket take an exact block-compacted side-2 retry
-    (default pool: 64 blocks of 1024 queries). SIZING CONTRACT: at the
-    table_factor-16 sizing `table_for` uses (bucket load 0.25), overflow
-    is ~1e-6 of buckets and the default pool is bottomless in practice;
-    tables built tighter than ~8x the key count (load >= 0.5) should pass
-    a larger `retry_capacity` or overflow queries past the pool resolve
-    as absent.
-    """
-    T = table.mask + 1
-    d = query.shape[-1]
-    lanes = _table_lanes(table, d)
-    shape = query.shape[:-1]
-    q = query.reshape(-1, d)
+    """Probe core over PRECOMPUTED bucket rows — shared by `lookup` (one
+    table) and `lookup_grouped` (a stack of same-shaped tables, where the
+    callers fold the table index into row1/row2)."""
+    d = q.shape[-1]
     nq = q.shape[0]
 
-    e1 = table.table[_h1(q, table.mask)]
+    e1 = flat_table[row1]
     out = _resolve(e1, q, lanes, d)
     flag = (e1[:, lanes * (d + 1) - 1] & _FLAG) != 0
     need2 = (out < 0) & flag
@@ -220,6 +213,8 @@ def lookup(
         retry_capacity = max(64, nB // 8) * B
     RB = max(2, min(nB, -(-retry_capacity // B)))
     q_pad = jnp.concatenate([q, jnp.zeros((pad, d), q.dtype)]) if pad else q
+    row2_pad = (jnp.concatenate([row2, jnp.zeros((pad,), row2.dtype)])
+                if pad else row2)
     out_pad = (jnp.concatenate([out, jnp.full((pad,), -1, out.dtype)])
                if pad else out)
     need_pad = (jnp.concatenate([need2, jnp.zeros((pad,), bool)])
@@ -233,13 +228,13 @@ def lookup(
     )[:RB]
 
     q2 = q_pad.reshape(nB, B, d)[qb]                      # [RB, B, d]
-    e2 = table.table[_h2(q2, table.mask) + T]
-    row2 = _resolve(e2, q2, lanes, d)                     # [RB, B]
+    e2 = flat_table[row2_pad.reshape(nB, B)[qb]]
+    row2res = _resolve(e2, q2, lanes, d)                  # [RB, B]
     # a key lives on exactly one side, so "side-2 hit wins, else keep the
     # side-1 answer" == the need2 merge — WITHOUT gathering bool rows
     # (a fused [RB,B] PRED gather miscompiled on v5e, selecting row2
     # everywhere; round-3 post-mortem)
-    merged = jnp.where(row2 >= 0, row2, out_pad.reshape(nB, B)[qb])
+    merged = jnp.where(row2res >= 0, row2res, out_pad.reshape(nB, B)[qb])
     # write EVERY slot back to its block unconditionally: merged[i] is the
     # identity-correct content for block qb[i] whatever slot i is, so
     # duplicate targets all carry equal values and no out-of-bounds
@@ -247,4 +242,82 @@ def lookup(
     # indices miscompiled on v5e — blocks 0..2 were corrupted while the
     # same HLO inline with extra outputs was correct; round-3 post-mortem.)
     out_pad = out_pad.reshape(nB, B).at[qb].set(merged)
-    return out_pad.reshape(-1)[:nq].reshape(shape)
+    return out_pad.reshape(-1)[:nq]
+
+
+def lookup(
+    table: HashTable, query: jnp.ndarray, retry_capacity: int | None = None
+) -> jnp.ndarray:
+    """Find row indices for query coords [..., D]; -1 where absent.
+
+    ONE packed gather + a LANES-wide compare; queries that miss an
+    overflow-flagged bucket take an exact block-compacted side-2 retry
+    (default pool: 64 blocks of 1024 queries). SIZING CONTRACT: at the
+    table_factor-16 sizing `table_for` uses (bucket load 0.25), overflow
+    is ~1e-6 of buckets and the default pool is bottomless in practice;
+    tables built tighter than ~8x the key count (load >= 0.5) should pass
+    a larger `retry_capacity` or overflow queries past the pool resolve
+    as absent.
+    """
+    T = table.mask + 1
+    d = query.shape[-1]
+    lanes = _table_lanes(table, d)
+    shape = query.shape[:-1]
+    q = query.reshape(-1, d)
+    row1 = _h1(q, table.mask)
+    row2 = T + _h2(q, table.mask)
+    return _lookup_rows(
+        table.table, row1, row2, q, lanes, retry_capacity
+    ).reshape(shape)
+
+
+def lookup_grouped(
+    tables: HashTable,
+    items: list[tuple[int, jnp.ndarray]],
+    retry_capacity: int | None = None,
+) -> list[jnp.ndarray]:
+    """One fused probe over a STACK of same-shaped tables.
+
+    `tables` is a vmapped `build_table` result: table [L, 2T, W], mask [L]
+    (all equal — the stack exists precisely because the levels share one
+    sizing). `items` is [(level, query[..., D]), ...]; returns one row
+    array per item shaped like its query minus the last axis.
+
+    Folding the level index into the bucket row turns L separate `lookup`
+    calls into ONE probe: a single e1 gather, a single retry pool, a
+    single program — per-call overhead (gather ramp, retry bookkeeping)
+    amortizes across every kernel map of a U-Net forward (~7 maps,
+    3.4 M rows at 32k voxels; BASELINE.md roofline).
+    """
+    tab = tables.table
+    L, twoT, W = tab.shape
+    mask = tables.mask.reshape(-1)[0] if getattr(
+        tables.mask, "ndim", 0
+    ) else tables.mask
+    T = mask + 1
+    flat = tab.reshape(L * twoT, W)
+    d = items[0][1].shape[-1]
+    lanes = W // (d + 1)
+    qs, r1s, r2s, shapes, sizes = [], [], [], [], []
+    for lvl, query in items:
+        assert query.shape[-1] == d
+        shapes.append(query.shape[:-1])
+        qf = query.reshape(-1, d)
+        sizes.append(qf.shape[0])
+        base = jnp.int32(lvl * twoT)
+        r1s.append(base + _h1(qf, mask))
+        r2s.append(base + T + _h2(qf, mask))
+        qs.append(qf)
+    out = _lookup_rows(
+        flat,
+        jnp.concatenate(r1s),
+        jnp.concatenate(r2s),
+        jnp.concatenate(qs),
+        lanes,
+        retry_capacity,
+    )
+    res, ofs = [], 0
+    for shape, n in zip(shapes, sizes):
+        res.append(out[ofs:ofs + n].reshape(shape))
+        ofs += n
+    return res

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-3 TPU chain (resumed session): DGR pruned-map timing evidence
+# (VERDICT r2 item 3), then the textured FCGF retrain + matchability probe
+# (gates VERDICT item 2's composition). Serialized because the tunneled TPU
+# runs one job at a time.
+set -x
+cd /root/repo
+
+# ---- 0. fused structure build: TPU parity + timing A/B ------------------- #
+# MUST run before the retrain: training and bench now default to the fused
+# path, and the CPU-exact parity test can't see v5e-specific miscompiles
+# (two prior scatter/gather miscompiles on this chip — hashtable.py notes).
+timeout 3600 python scripts/fused_ab.py 32768 2>&1 | tail -6
+
+# ---- 1. DGR pruned vs unpruned forward/e2e timing ------------------------ #
+timeout 2400 python scripts/profile_dgr.py 64 2>&1 | tail -4
+timeout 2400 python scripts/profile_dgr.py 0 2>&1 | tail -4
+
+# ---- 2. DGR matrix row with pruning (same protocol as round 2) ----------- #
+timeout 5400 python scripts/benchmark_matrix.py --algos DGR \
+  --dgr_weights outputs/r2_dgr_surr/model_best.msgpack 2>&1 | tail -12
+
+# ---- 3. textured FCGF retrain (matchability-collapse fix) ---------------- #
+timeout 14400 python -m lidarreg.cli.train --model fcgf \
+  --epochs 30 --steps_per_epoch 100 \
+  --outdir outputs/r3_fcgf_textured 2>&1 | tail -15
+
+# ---- 4. matchability probe over the checkpoint trajectory ---------------- #
+timeout 3600 python scripts/matchability_probe.py \
+  --ckpt_dir outputs/r3_fcgf_textured \
+  --epochs 0,1,2,4,8,12,16,20,24,29 \
+  --extra weights/fcgf_synthetic_25ep.msgpack 2>&1 | grep -v WARNING
+
+# ---- 5. promote best-by-NN-inlier checkpoint ----------------------------- #
+if [ -f outputs/r3_fcgf_textured/model_best.msgpack ]; then
+  cp outputs/r3_fcgf_textured/model_best.msgpack weights/fcgf_textured_30ep.msgpack
+  cp outputs/r3_fcgf_textured/model_best.msgpack.config.json \
+     weights/fcgf_textured_30ep.msgpack.config.json 2>/dev/null || true
+fi
+
+# ---- 6. feature-quality eval: NN inlier + RANSAC recall over 12 pairs ---- #
+timeout 3600 python -m lidarreg.cli.test --dataset A --algo RANSAC --mode GPF \
+  --iters 50000 --max_samples 12 --features fcgf \
+  --fcgf_weights_file weights/fcgf_textured_30ep.msgpack \
+  --outdir outputs/r3_fcgf_textured_eval 2>&1 | tail -25

@@ -169,3 +169,42 @@ class TestOnesInputFastPath:
         np.testing.assert_allclose(
             np.asarray(out_fast), np.asarray(out_slow), atol=2e-5
         )
+
+
+class TestFusedStructureBuild:
+    def test_fused_build_matches_serialized(self, rng):
+        """fused_build=True (one batched sort + vmapped table builds) must
+        be bit-identical to the round-2 serialized per-level path."""
+        x = make_input(rng, n_pts=2500, cap=2048)
+        fused = ResUNetBN2C(compute_dtype=None, fused_build=True)
+        serial = ResUNetBN2C(compute_dtype=None, fused_build=False)
+        params = fused.init(jax.random.PRNGKey(0), x, train=False)
+        o1 = fused.apply(params, x, train=False)
+        o2 = serial.apply(params, x, train=False)
+        np.testing.assert_array_equal(np.asarray(o1.valid), np.asarray(o2.valid))
+        np.testing.assert_allclose(
+            np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-6
+        )
+
+    def test_fused_build_matches_serialized_dim6(self, rng):
+        """Same parity for the 6-D DGR inlier net (pruned kernel maps)."""
+        coords6 = np.unique(
+            rng.integers(-12, 12, (400, 6)).astype(np.int32), axis=0
+        )
+        cap, n = 512, len(coords6)
+        full = np.concatenate(
+            [coords6, np.full((cap - n, 6), 2**20, np.int32)]
+        )
+        valid = jnp.asarray(np.arange(cap) < n)
+        feats = jnp.ones((cap, 1), jnp.float32) * valid[:, None]
+        x = SparseTensor(jnp.asarray(full), feats, valid, 1)
+        kw = dict(dim=6, out_channels=1, conv1_kernel_size=3,
+                  normalize_feature=False, compute_dtype=None)
+        fused = ResUNetBN2C(fused_build=True, **kw)
+        serial = ResUNetBN2C(fused_build=False, **kw)
+        params = fused.init(jax.random.PRNGKey(0), x, train=False)
+        o1 = fused.apply(params, x, train=False)
+        o2 = serial.apply(params, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-6
+        )

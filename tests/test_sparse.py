@@ -519,3 +519,62 @@ class TestPrunedKernelMap:
         np.testing.assert_allclose(
             np.asarray(a.feats), np.asarray(b.feats), rtol=2e-4, atol=2e-4
         )
+
+
+class TestLookupGrouped:
+    def test_matches_per_table_lookup(self, rng):
+        """lookup_grouped over a vmapped table stack == per-table lookup,
+        including misses and repeat levels."""
+        import jax
+        from lidarreg.sparse.hashtable import lookup_grouped
+
+        L, size = 3, 4096
+        coords, valids = [], []
+        for i in range(L):
+            c = np.unique(
+                rng.integers(-40, 40, (300 + 100 * i, 3)).astype(np.int32),
+                axis=0,
+            )
+            full = np.zeros((512, 3), np.int32)
+            full[: len(c)] = c
+            coords.append(full)
+            valids.append(np.arange(512) < len(c))
+        cs = jnp.asarray(np.stack(coords))
+        vs = jnp.asarray(np.stack(valids))
+        tabs, _ = jax.vmap(lambda c, v: build_table(c, v, size))(cs, vs)
+
+        queries = [
+            (lvl, jnp.asarray(
+                rng.integers(-45, 45, (7, 200, 3)).astype(np.int32)))
+            for lvl in (0, 2, 1, 2)
+        ]
+        got = lookup_grouped(tabs, queries)
+        from lidarreg.sparse.hashtable import HashTable
+        for (lvl, q), g in zip(queries, got):
+            single = HashTable(tabs.table[lvl], tabs.mask[lvl])
+            want = lookup(single, q)
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(want))
+
+    def test_downsample_pyramid_matches_chained(self, rng):
+        from lidarreg.sparse.tensor import downsample_pyramid
+
+        pts = np.unique(
+            rng.integers(-60, 60, (900, 3)).astype(np.int32), axis=0
+        )
+        cap = 1024
+        full = np.full((cap, 3), 2**20, np.int32)
+        full[: len(pts)] = pts
+        coords = jnp.asarray(full)
+        valid = jnp.asarray(np.arange(cap) < len(pts))
+        caps = [cap, cap // 2, cap // 4]
+        pyr = downsample_pyramid(coords, valid, 1, caps)
+        c, v = coords, valid
+        stride = 1
+        for (ck, vk), cap_k in zip(pyr, caps):
+            want_c, want_v = downsample_coords(c, v, stride, cap_k)
+            np.testing.assert_array_equal(np.asarray(vk), np.asarray(want_v))
+            np.testing.assert_array_equal(
+                np.asarray(ck)[np.asarray(vk)],
+                np.asarray(want_c)[np.asarray(want_v)],
+            )
+            c, v, stride = want_c, want_v, stride * 2

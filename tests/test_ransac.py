@@ -165,3 +165,37 @@ class TestShardedRansac:
         np.testing.assert_array_equal(
             np.asarray(res.transform), np.asarray(res2.transform)
         )
+
+
+class TestConfidenceEarlyTermination:
+    def test_confidence_matches_fixed_budget_quality(self, rng):
+        """Open3D-style confidence stopping (RansacConfig.confidence) must
+        register easy pairs as accurately as the fixed budget, and the
+        fixed-budget path (confidence=0.0) must still solve them."""
+        import jax
+        from lidarreg.core import registration_success
+
+        src, tgt, T_gt, _ = make_problem(rng, n=2048, inlier_frac=0.4)
+        cfg = CFG_FAST._replace(num_hypotheses=16384, chunk_size=2048)
+        for conf in (0.0, 0.9995):
+            f = jax.jit(lambda s, t, k: ransac_register(
+                s, t, jnp.ones(2048, bool), k,
+                cfg._replace(confidence=conf)))
+            res = f(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(3))
+            ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
+            assert bool(ok), (conf, float(re), float(te))
+
+    def test_low_inlier_pair_still_uses_budget(self, rng):
+        """At inlier ratios where log(1-conf)/log(1-e^4) exceeds the budget,
+        the while_loop must run the full schedule and still solve."""
+        import jax
+        from lidarreg.core import registration_success
+
+        src, tgt, T_gt, _ = make_problem(rng, n=2048, inlier_frac=0.12)
+        cfg = CFG_FAST._replace(num_hypotheses=32768, chunk_size=2048,
+                                confidence=0.9995)
+        f = jax.jit(lambda s, t, k: ransac_register(
+            s, t, jnp.ones(2048, bool), k, cfg))
+        res = f(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(5))
+        ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
+        assert bool(ok), (float(re), float(te))

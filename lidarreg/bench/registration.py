@@ -42,6 +42,9 @@ class FRConfig(NamedTuple):
     # default lambda (Experiments/test.py:306).
     graph_cut_lo: bool = False
     spatial_coherence_weight: float = 0.0
+    # NN distance matmul precision ("highest" = exact f32, parity with the
+    # reference's torch matmul; see scripts/knn_precision_ablation.py)
+    match_precision: str = "highest"
 
 
 class FRResult(NamedTuple):
@@ -72,6 +75,7 @@ def make_fr_register(cfg: FRConfig):
         c = match_pair(
             F0, F1, xyz0, mask0=m0, mask1=m1, mode=cfg.mode,
             grid_wid=cfg.grid_wid, gpf_factor=cfg.gpf_factor,
+            precision=cfg.match_precision,
         )
         tgt = xyz1[c.idx1]
         res = ransac_register(

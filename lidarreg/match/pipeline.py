@@ -41,11 +41,15 @@ def match_pair(
     bb_first: bool = False,
     max_matches: int | None = None,
     row_tile: int = 4096,
+    precision: str = "highest",
 ) -> Correspondences:
     """Full matching front-end for one pair.
 
     F0/F1: [N0/N1, D] (padded) features; xyz0: [N0, 3] source coordinates.
     mode: "MNN" | "GPF" | "no_filter" (FR.py:48-56).
+    `precision` controls the NN distance matmul's MXU pass count
+    ("highest" = exact f32, the reference's torch semantics; lower tiers
+    trade NN exactness on near-ties for MXU rate — ablate before changing).
     """
     n0 = F0.shape[0]
     valid = mask0 if mask0 is not None else jnp.ones((n0,), bool)
@@ -53,7 +57,8 @@ def match_pair(
     # one distance-matrix pass yields forward top-2 AND backward NN — half
     # the HBM traffic of two find_nn calls (ops/knn.py find_nn_bidirectional)
     fwd, bwd_idx = find_nn_bidirectional(
-        F0, F1, mask0=mask0, mask1=mask1, row_tile=row_tile
+        F0, F1, mask0=mask0, mask1=mask1, row_tile=row_tile,
+        precision=precision,
     )
     is_bb = mutual_nn_mask(fwd.idx, bwd_idx, mask0=valid)
     if mask1 is not None:

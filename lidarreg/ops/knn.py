@@ -74,7 +74,7 @@ def find_nn(
         from .pallas_knn import knn_top2_pallas
 
         m1 = mask1 if mask1 is not None else jnp.ones(F1.shape[0], bool)
-        i1, d1, i2, d2 = knn_top2_pallas(F0, F1, m1)
+        i1, d1, i2, d2 = knn_top2_pallas(F0, F1, m1, precision=precision)
         return NNResult(i1, d1, i2, d2)
     n0 = F0.shape[0]
     tile = min(row_tile, max(n0, 8))
@@ -133,7 +133,9 @@ def find_nn_bidirectional(
 
         m0 = mask0 if mask0 is not None else jnp.ones((n0,), bool)
         m1 = mask1 if mask1 is not None else jnp.ones((F1.shape[0],), bool)
-        i1, d1, i2, d2, bi, _ = knn_bidir_pallas(F0, F1, m0, m1)
+        i1, d1, i2, d2, bi, _ = knn_bidir_pallas(
+            F0, F1, m0, m1, precision=precision
+        )
         return NNResult(i1, d1, i2, d2), bi
     n1 = F1.shape[0]
     tile = min(row_tile, max(n0, 8))

@@ -29,7 +29,7 @@ _NEG_BIG = -1e30
 
 def _knn_kernel(f0_ref, f1t_ref, sq1_ref, mask1_ref,
                 d1_ref, i1_ref, d2_ref, i2_ref,
-                m1_s, x1_s, m2_s, x2_s):
+                m1_s, x1_s, m2_s, x2_s, *, precision):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -42,7 +42,7 @@ def _knn_kernel(f0_ref, f1t_ref, sq1_ref, mask1_ref,
 
     # distance tile (minus the per-row |f0|^2 constant)
     s = jnp.dot(f0_ref[:], f1t_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=precision)
     d = sq1_ref[:] - 2.0 * s                       # [BM, BN]
     d = jnp.where(mask1_ref[:] != 0, d, 1e30)
 
@@ -89,14 +89,19 @@ def _knn_kernel(f0_ref, f1t_ref, sq1_ref, mask1_ref,
         i2_ref[:] = x2_s[:]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3,),
+                   static_argnames=("precision",))
 def knn_top2_pallas(F0: jnp.ndarray, F1: jnp.ndarray,
-                    mask1: jnp.ndarray, interpret: bool = False):
+                    mask1: jnp.ndarray, interpret: bool = False,
+                    precision: str = "highest"):
     """Top-2 nearest neighbors of each F0 row among F1 rows.
 
     F0: [N0, D], F1: [N1, D], mask1: [N1] bool (False = padding).
     Returns (idx1 [N0], dist1 [N0], idx2 [N0], dist2 [N0]); distances are
     true L2 (the |f0|^2 constant is restored outside the kernel).
+    `precision` sets the MXU pass count for the distance matmul ("highest"
+    = exact f32; "default" = one bf16 pass, ~6x the MXU rate — see
+    scripts/knn_precision_ablation.py before changing it for a benchmark).
     """
     n0, dim = F0.shape
     n1 = F1.shape[0]
@@ -144,7 +149,7 @@ def knn_top2_pallas(F0: jnp.ndarray, F1: jnp.ndarray,
         ],
     )
     d1, i1, d2, i2 = pl.pallas_call(
-        _knn_kernel,
+        functools.partial(_knn_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((F0p.shape[0], 1), jnp.float32),
@@ -163,7 +168,7 @@ def knn_top2_pallas(F0: jnp.ndarray, F1: jnp.ndarray,
 
 def _knn_bidir_kernel(f0_ref, f1t_ref, sq0_ref, sq1_ref, mask0_ref, mask1_ref,
                       d1_ref, i1_ref, d2_ref, i2_ref, bd_ref, bi_ref,
-                      m1_s, x1_s, m2_s, x2_s, bm_s, bx_s):
+                      m1_s, x1_s, m2_s, x2_s, bm_s, bx_s, *, precision):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ni = pl.num_programs(0)
@@ -187,7 +192,7 @@ def _knn_bidir_kernel(f0_ref, f1t_ref, sq0_ref, sq1_ref, mask0_ref, mask1_ref,
     # TRUE squared distance tile (same op order as ops.knn._row_tile_nn so
     # argmin tie-breaks match bit-for-bit)
     s = jnp.dot(f0_ref[:], f1t_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=precision)
     sq0col = sq0_ref[0, :][:, None]                # [BM, 1]
     d = (sq0col + sq1_ref[:]) - 2.0 * s           # [BM, BN]
     dfw = jnp.where(mask1_ref[:] != 0, d, 1e30)
@@ -242,10 +247,11 @@ def _knn_bidir_kernel(f0_ref, f1t_ref, sq0_ref, sq1_ref, mask0_ref, mask1_ref,
         bi_ref[:] = bx_s[:, pl.dslice(col0, _BN)]
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(4,),
+                   static_argnames=("precision",))
 def knn_bidir_pallas(F0: jnp.ndarray, F1: jnp.ndarray,
                      mask0: jnp.ndarray, mask1: jnp.ndarray,
-                     interpret: bool = False):
+                     interpret: bool = False, precision: str = "highest"):
     """Forward top-2 NN of F0 rows in F1 AND backward NN of F1 rows in F0,
     from ONE pass over the distance tiles.
 
@@ -315,7 +321,7 @@ def knn_bidir_pallas(F0: jnp.ndarray, F1: jnp.ndarray,
         ],
     )
     d1, i1, d2, i2, bd, bi = pl.pallas_call(
-        _knn_bidir_kernel,
+        functools.partial(_knn_bidir_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((F0p.shape[0], 1), jnp.float32),

@@ -43,3 +43,6 @@ timeout 3600 python -m lidarreg.cli.test --dataset A --algo RANSAC --mode GPF \
   --iters 50000 --max_samples 12 --features fcgf \
   --fcgf_weights_file weights/fcgf_textured_30ep.msgpack \
   --outdir outputs/r3_fcgf_textured_eval 2>&1 | tail -25
+
+# ---- 7. NN-matmul precision ablation (recall + time per tier) ------------ #
+timeout 3600 python scripts/knn_precision_ablation.py --pairs 30 2>&1 | tail -6

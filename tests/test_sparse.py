@@ -578,3 +578,39 @@ class TestLookupGrouped:
                 np.asarray(want_c)[np.asarray(want_v)],
             )
             c, v, stride = want_c, want_v, stride * 2
+
+    def test_grouped_lookup_tight_tables_exact(self, rng):
+        """lookup_grouped's shared retry pool must stay exact when MANY
+        buckets overflow (side-2 rows routed per level through row2)."""
+        import jax
+        from lidarreg.sparse.hashtable import lookup_grouped
+
+        L = 3
+        coords, valids = [], []
+        for i in range(L):
+            c = np.unique(
+                rng.integers(-100, 100, (900, 3)).astype(np.int32), axis=0
+            )
+            full = np.zeros((1024, 3), np.int32)
+            full[: len(c)] = c
+            coords.append(full)
+            valids.append(np.arange(1024) < len(c))
+        cs = jnp.asarray(np.stack(coords))
+        vs = jnp.asarray(np.stack(valids))
+        # 1024 entries for ~900 keys per level: heavy side-1 overflow
+        tabs, placed = jax.vmap(
+            lambda c, v: build_table(c, v, 1024)
+        )(cs, vs)
+        assert bool(np.asarray(placed)[np.asarray(vs)].all())
+        items = [(lvl, cs[lvl]) for lvl in range(L)]
+        # mix in absent queries for every level
+        items += [(lvl, cs[lvl] + jnp.asarray([[1000, 0, 0]], jnp.int32))
+                  for lvl in range(L)]
+        got = lookup_grouped(tabs, items, retry_capacity=4096)
+        for lvl in range(L):
+            present = np.asarray(got[lvl])[np.asarray(vs[lvl])]
+            np.testing.assert_array_equal(
+                present, np.arange(int(vs[lvl].sum()))
+            )
+            absent = np.asarray(got[L + lvl])[np.asarray(vs[lvl])]
+            assert (absent == -1).all()

@@ -208,3 +208,26 @@ class TestFusedStructureBuild:
         np.testing.assert_allclose(
             np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-6
         )
+
+    def test_fused_build_gradient_parity(self, rng):
+        """Training runs the fused path: grads must match the serial path."""
+        import jax.flatten_util
+
+        x = make_input(rng, n_pts=2000, cap=1024)
+        grads = {}
+        for fused in (False, True):
+            m = ResUNetBN2C(compute_dtype=None, fused_build=fused)
+            v = m.init(jax.random.PRNGKey(0), x, train=True)
+
+            def loss(params, m=m, v=v):
+                out, _ = m.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"])
+                return jnp.sum(out.feats ** 2)
+
+            grads[fused] = jax.grad(loss)(v["params"])
+        fa = jax.flatten_util.ravel_pytree(grads[True])[0]
+        fb = jax.flatten_util.ravel_pytree(grads[False])[0]
+        rel = float(jnp.abs(fa - fb).max()) / (
+            float(jnp.abs(fb).max()) + 1e-30)
+        assert rel < 1e-6, rel

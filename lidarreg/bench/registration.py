@@ -45,6 +45,8 @@ class FRConfig(NamedTuple):
     # NN distance matmul precision ("highest" = exact f32, parity with the
     # reference's torch matmul; see scripts/knn_precision_ablation.py)
     match_precision: str = "highest"
+    # RANSAC convergence confidence (FR.py:136; 0.0 = fixed budget)
+    confidence: float = 0.9995
 
 
 class FRResult(NamedTuple):
@@ -68,6 +70,7 @@ def make_fr_register(cfg: FRConfig):
         top_k=cfg.top_k,
         refit_iters=cfg.refit_iters,
         chunk_size=min(cfg.chunk_size, max(1024, cfg.iters)),
+        confidence=cfg.confidence,
     )
 
     @jax.jit

@@ -48,6 +48,9 @@ def get_args(argv=None):
     p.add_argument("--mode", type=str, default="GPF",
                    choices=["GPF", "MNN", "no_filter"])
     p.add_argument("--iters", type=int, default=50_000)
+    p.add_argument("--confidence", type=float, default=0.9995,
+                   help="RANSAC convergence confidence (FR.py:136); "
+                        "0.0 runs the fixed hypothesis budget")
     p.add_argument("--phase", type=str, default="test",
                    choices=["train", "validation", "test"])
     p.add_argument("--prosac", type=str2bool, default=True)
@@ -193,6 +196,7 @@ def main(argv=None):
                 gpf_factor=args.GPF_factor,
                 refit_iters=0 if gc_lo else refit_iters,
                 graph_cut_lo=gc_lo,
+                confidence=args.confidence,
             )
         )
     elif args.algo == "TEASER":

@@ -46,3 +46,15 @@ timeout 3600 python -m lidarreg.cli.test --dataset A --algo RANSAC --mode GPF \
 
 # ---- 7. NN-matmul precision ablation (recall + time per tier) ------------ #
 timeout 3600 python scripts/knn_precision_ablation.py --pairs 30 2>&1 | tail -6
+
+# ---- 8. gated composition: only if the textured features actually work --- #
+# (a collapsed encoder would waste ~3 h of TPU re-training learned models
+# over bad descriptors — the round-3 matchability lesson)
+rec=$(grep -oE "recall: [0-9.]+" outputs/r3_fcgf_textured_eval/log.txt 2>/dev/null | head -1 | grep -oE "[0-9.]+")
+echo "textured eval recall: ${rec:-none}"
+if [ -n "$rec" ] && python -c "import sys; sys.exit(0 if float('$rec') >= 50 else 1)"; then
+  bash scripts/round3_composition3.sh
+else
+  echo "composition gated OFF (recall ${rec:-unknown} < 50); rerunning bench only"
+  timeout 3600 python bench.py 2>&1 | tail -12
+fi

@@ -13,7 +13,7 @@ TPU-native design:
 
 TPU-first design (no sequential iteration loop):
   K hypotheses are drawn and evaluated as a few big XLA launches —
-  `lax.map` over chunks of `chunk_size` hypotheses; per chunk: minimal-sample
+  a chunk loop over `chunk_size` hypotheses; per chunk: minimal-sample
   gather -> edge-length-constraint mask -> closed-form quaternion Kabsch
   (core.kabsch, SVD-free) -> staged inlier counting:
     stage 0 (SPRT): every hypothesis scored on a tiny `sprt_samples` subset;

@@ -102,6 +102,12 @@ class RansacConfig(NamedTuple):
     # budget (the round-2 behavior; statistically stronger, but pays the
     # worst case on every pair).
     confidence: float = 0.9995
+    # Warmup chunk (confidence mode only): score `first_chunk` hypotheses
+    # BEFORE entering the 65k-chunk loop and test the stopping rule on
+    # them. Post-GPF inlier ratios (~0.3+) satisfy conf=0.9995 within a
+    # few hundred PROSAC-ordered trials, so easy pairs finish after this
+    # prefix and never pay a full chunk. 0 = off.
+    first_chunk: int = 8192
 
 
 class RansacResult(NamedTuple):
@@ -424,38 +430,44 @@ def ransac_register(
         total_hyps=n_chunks * cfg.chunk_size,
     )
     C = cfg.chunk_size
-    top = min(cfg.top_k, C)
 
-    def chunk_best(chunk_id):
-        """Stage-1 score one chunk, stage-2 score its survivors on the full
-        set; return (best stage-2 inlier count, its [12] Rt)."""
-        fitness, rt = score_fn(chunk_id)               # [C], [12, C]
-        if C > top and C % top == 0:
-            # group-max survivor selection: lax.top_k over 65k fitness
-            # values costs more than stage 2 itself (v5e-profiled,
-            # CLAUDE.md); the best of each contiguous group always includes
-            # the chunk argmax, and stage 2 re-ranks survivors on the FULL
-            # correspondence set anyway
-            G = C // top
-            grp = fitness.reshape(top, G)
-            lane = jnp.argmax(grp, axis=1).astype(jnp.int32)
-            top_idx = jnp.arange(top, dtype=jnp.int32) * G + lane
-        else:
-            _, top_idx = lax.top_k(fitness, top)
-        rt_top = rt[:, top_idx]  # [12, T]
-        R_top = jnp.stack(
-            [rt_top[0], rt_top[1], rt_top[2],
-             rt_top[3], rt_top[4], rt_top[5],
-             rt_top[6], rt_top[7], rt_top[8]], axis=-1
-        ).reshape(-1, 3, 3)
-        t_top = jnp.stack([rt_top[9], rt_top[10], rt_top[11]], axis=-1)
-        counts, _ = _count_inliers(
-            R_top, t_top, src, tgt, keep, cfg.inlier_thresh
-        )
-        # a stage-1 rejection (ELC / degenerate sample) stays rejected
-        counts = jnp.where(fitness[top_idx] >= 0, counts, -1)
-        b = jnp.argmax(counts)
-        return counts[b], rt_top[:, b]
+    def make_chunk_best(score, csize):
+        top = min(cfg.top_k, csize)
+
+        def chunk_best(chunk_id):
+            """Stage-1 score one chunk, stage-2 score its survivors on the
+            full set; return (best stage-2 inlier count, its [12] Rt)."""
+            fitness, rt = score(chunk_id)              # [Csz], [12, Csz]
+            if csize > top and csize % top == 0:
+                # group-max survivor selection: lax.top_k over 65k fitness
+                # values costs more than stage 2 itself (v5e-profiled,
+                # CLAUDE.md); the best of each contiguous group always
+                # includes the chunk argmax, and stage 2 re-ranks survivors
+                # on the FULL correspondence set anyway
+                G = csize // top
+                grp = fitness.reshape(top, G)
+                lane = jnp.argmax(grp, axis=1).astype(jnp.int32)
+                top_idx = jnp.arange(top, dtype=jnp.int32) * G + lane
+            else:
+                _, top_idx = lax.top_k(fitness, top)
+            rt_top = rt[:, top_idx]  # [12, T]
+            R_top = jnp.stack(
+                [rt_top[0], rt_top[1], rt_top[2],
+                 rt_top[3], rt_top[4], rt_top[5],
+                 rt_top[6], rt_top[7], rt_top[8]], axis=-1
+            ).reshape(-1, 3, 3)
+            t_top = jnp.stack([rt_top[9], rt_top[10], rt_top[11]], axis=-1)
+            counts, _ = _count_inliers(
+                R_top, t_top, src, tgt, keep, cfg.inlier_thresh
+            )
+            # a stage-1 rejection (ELC / degenerate sample) stays rejected
+            counts = jnp.where(fitness[top_idx] >= 0, counts, -1)
+            b = jnp.argmax(counts)
+            return counts[b], rt_top[:, b]
+
+        return chunk_best
+
+    chunk_best = make_chunk_best(score_fn, C)
 
     def merge(carry, chunk_id):
         bc, brt = carry
@@ -463,13 +475,36 @@ def ransac_register(
         better = c > bc
         return jnp.where(better, c, bc), jnp.where(better, rtb, brt)
 
+    use_conf = 0.0 < cfg.confidence < 1.0
     init = (jnp.int32(-1), jnp.zeros((12,), src.dtype))
-    if 0.0 < cfg.confidence < 1.0 and n_chunks > 1:
+    drawn0 = 0
+    if use_conf and 0 < cfg.first_chunk < min(C, cfg.num_hypotheses):
+        # warmup prefix: a small PROSAC-ordered chunk scored before the
+        # 65k-chunk loop. Easy pairs (post-GPF inlier ratios) satisfy the
+        # stopping rule here and skip the loop entirely. Distinct PRNG
+        # stream (fold_in 2^20) so it never replays main-chunk samples.
+        w_score = partial(
+            _score_chunk,
+            key=jax.random.fold_in(key, 1 << 20),
+            cand_idx=cand_idx,
+            n_keep=n_keep,
+            pts6=pts6,
+            sub_src=sub_src,
+            sub_tgt=sub_tgt,
+            sprt_src=sprt_src,
+            sprt_tgt=sprt_tgt,
+            cfg=cfg._replace(chunk_size=cfg.first_chunk),
+            total_hyps=n_chunks * cfg.chunk_size,
+        )
+        init = make_chunk_best(w_score, cfg.first_chunk)(jnp.int32(0))
+        drawn0 = cfg.first_chunk
+    if use_conf and (n_chunks > 1 or drawn0):
         # Open3D RANSACConvergenceCriteria (FR.py:136): stop once the drawn
         # hypothesis count exceeds log(1-conf)/log(1-e^s) for the best
         # inlier ratio e so far. Chunks run under lax.while_loop, so easy
-        # pairs terminate after one chunk; divergent trip counts are safe
-        # under shard_map (no collective inside the loop).
+        # pairs terminate after one chunk (or the warmup prefix alone);
+        # divergent trip counts are safe under shard_map (no collective
+        # inside the loop).
         import math
 
         log1mconf = math.log(1.0 - cfg.confidence)
@@ -484,7 +519,8 @@ def ransac_register(
             # needed=+inf (run the full budget), not a 0/0
             denom = jnp.minimum(jnp.log1p(-p_good), -1e-12)
             needed = log1mconf / denom
-            return (i < n_chunks) & (i.astype(jnp.float32) * C < needed)
+            drawn = i.astype(jnp.float32) * C + float(drawn0)
+            return (i < n_chunks) & (drawn < needed)
 
         def body(carry):
             i, bc, brt = carry

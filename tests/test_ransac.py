@@ -177,13 +177,14 @@ class TestConfidenceEarlyTermination:
 
         src, tgt, T_gt, _ = make_problem(rng, n=2048, inlier_frac=0.4)
         cfg = CFG_FAST._replace(num_hypotheses=16384, chunk_size=2048)
-        for conf in (0.0, 0.9995):
+        # conf=0.9995 with first_chunk exercises the warmup-prefix path
+        for conf, fc in ((0.0, 0), (0.9995, 0), (0.9995, 1024)):
             f = jax.jit(lambda s, t, k: ransac_register(
                 s, t, jnp.ones(2048, bool), k,
-                cfg._replace(confidence=conf)))
+                cfg._replace(confidence=conf, first_chunk=fc)))
             res = f(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(3))
             ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
-            assert bool(ok), (conf, float(re), float(te))
+            assert bool(ok), (conf, fc, float(re), float(te))
 
     def test_low_inlier_pair_still_uses_budget(self, rng):
         """At inlier ratios where log(1-conf)/log(1-e^4) exceeds the budget,

@@ -284,7 +284,10 @@ class BalancedSetGenerator:
         m = fields.min(0, keepdims=True)
         M = fields.max(0, keepdims=True)
         span = M - m
-        active = span[0] > 1e-9
+        # scale-aware degeneracy: spreads below 1 mm / 0.001 deg are noise
+        # (e.g. ICP-refine jitter on a translation-only drive), and
+        # normalizing them to [0, 1] would starve the 0.1-ball sampler
+        active = span[0] > 1e-3
         pts = np.where(active, (fields - m) / np.maximum(span, 1e-12), 0.0)
         return pts, active
 
@@ -320,11 +323,11 @@ class BalancedSetGenerator:
         cfg = self.config
         cands = self.extract_all_candidates()
         rng = np.random.default_rng(cfg.seed)
-        sizes = [
-            (sz // cfg.round_to_multiple) * cfg.round_to_multiple
-            if sz >= cfg.round_to_multiple else sz
-            for sz in cfg.sizes
-        ]
+        # unconditional ceil like the reference (GenerateBalancedSet.py:
+        # 138-140, `np.ceil(s/m)*m`): the published sets confirm it
+        # (requested 7000/200/300 -> written 7008/288/384)
+        m = cfg.round_to_multiple
+        sizes = [int(np.ceil(sz / m)) * m for sz in cfg.sizes]
         sel = self.select_balanced(cands, sum(sizes), rng)
         sel = np.asarray(sel).reshape(-1, 27)
         if len(sel) < sum(sizes):
@@ -339,6 +342,11 @@ class BalancedSetGenerator:
         for name, sz in zip(("train", "validation", "test"), sizes):
             rows = sel[perm[off:off + sz]]
             off += sz
+            if sz == 0:
+                # phase-recipes request a subset of splits (e.g. the test
+                # phase only writes test.txt, GenerateBalancedSet.py:661-663);
+                # never clobber another phase's files with empties
+                continue
             # sort by (session, src) like save_set (:509-517)
             order = np.lexsort((rows[:, 1], rows[:, 0]))
             rows = rows[order]
@@ -360,20 +368,27 @@ class BalancedSetGenerator:
         return out
 
 
-# Dataset recipes (GenerateBalancedSet.py:647-751).
+# Dataset recipes (GenerateBalancedSet.py:647-751). `sizes` are the
+# REQUESTED train/validation/test counts; create_set ceil-rounds each to a
+# multiple of 96, matching the published files (7000 -> 7008, 200 -> 288,
+# 300 -> 384, 2500 -> 2592). cli.genset maps splits to the dataset phase
+# each is extracted from (e.g. Apollo train+validation come from the
+# 'train' archive, test from the 'test' archive, :653-663).
 RECIPES = {
     "ApolloSouthbay": GensetConfig(sizes=(4000, 200, 7000)),
-    "KITTI_10m": GensetConfig(sizes=(0, 0, 555), refine_GT_for_candidate=True),
+    "KITTI": GensetConfig(
+        sizes=(1400, 200, 600), refine_GT_for_candidate=True,
+    ),
     "NuScenes_boston": GensetConfig(
-        sizes=(2000, 200, 2592), refine_GT_for_candidate=True,
+        sizes=(4000, 300, 2500), refine_GT_for_candidate=True,
         refine_GT_Z_only=True,
     ),
     "NuScenes_singapore": GensetConfig(
-        sizes=(2000, 200, 2592), refine_GT_for_candidate=True,
+        sizes=(4000, 300, 2500), refine_GT_for_candidate=True,
         refine_GT_Z_only=True,
     ),
     "LyftLEVEL5": GensetConfig(
-        sizes=(1000, 100, 1000), refine_GT_for_candidate=True,
+        sizes=(2000, 200, 2500), refine_GT_for_candidate=True,
         refine_GT_Z_only=True,
     ),
 }

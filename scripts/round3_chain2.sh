@@ -58,3 +58,10 @@ else
   echo "composition gated OFF (recall ${rec:-unknown} < 50); rerunning bench only"
   timeout 3600 python bench.py 2>&1 | tail -12
 fi
+
+# ---- 9. GC_RANSAC matrix row with the native graph-cut LO ----------------- #
+# (VERDICT r2 item 10: the row must measure the real optimizer, not alias the
+# RANSAC row. Runs on surrogate features so it lands even when the textured
+# composition is gated off; cheap — 12 pairs, 50k budget.)
+timeout 3600 python scripts/benchmark_matrix.py \
+  --algos RANSAC GC_RANSAC 2>&1 | tail -8

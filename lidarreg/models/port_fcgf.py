@@ -249,3 +249,41 @@ def validate_port(
         if err > atol:
             problems.append(f"numeric {me_name}: max err {err:.2e}")
     return problems
+
+
+def main(argv=None):
+    """`python -m lidarreg.models.port_fcgf IN.pth OUT.msgpack` — one-step
+    migration of a reference FCGF checkpoint (the reference loads these at
+    Experiments/datasets/LidarFeatureExtractor.py:71-81)."""
+    import argparse
+
+    from ..utils.checkpoint import save_variables
+
+    p = argparse.ArgumentParser("lidarreg port_fcgf")
+    p.add_argument("pth", help="reference .pth checkpoint (torch state_dict)")
+    p.add_argument("out", help="output .msgpack variables file")
+    p.add_argument("--conv1_kernel_size", type=int, default=5)
+    p.add_argument("--no_validate", action="store_true")
+    args = p.parse_args(argv)
+
+    state = load_torch_state(args.pth)
+    variables = port_fcgf_state(
+        state, conv1_kernel_size=args.conv1_kernel_size
+    )
+    if not args.no_validate:
+        from .fcgf import ResUNetBN2C
+
+        model = ResUNetBN2C(conv1_kernel_size=args.conv1_kernel_size)
+        problems = validate_port(variables, model, state=state)
+        for msg in problems:
+            print(f"WARN {msg}")
+        if problems:
+            raise SystemExit(f"{len(problems)} validation problems")
+    save_variables(args.out, variables,
+                   config={"ported_from": args.pth,
+                           "conv1_kernel_size": args.conv1_kernel_size})
+    print(f"ported {args.pth} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -168,3 +168,21 @@ class TestPort:
         torch.save(blob, path)
         loaded = load_torch_state(path)
         np.testing.assert_array_equal(loaded["conv1.kernel"], sd["conv1.kernel"])
+
+    def test_cli_main_ports_and_validates(self, rng, tmp_path):
+        # `python -m lidarreg.models.port_fcgf IN.pth OUT.msgpack`
+        from lidarreg.models.port_fcgf import main
+        from lidarreg.utils.checkpoint import load_variables
+
+        sd = fake_state(rng)
+        blob = {"state_dict": {k: torch.as_tensor(v) for k, v in sd.items()}}
+        src = str(tmp_path / "ref.pth")
+        dst = str(tmp_path / "ported.msgpack")
+        torch.save(blob, src)
+        main([src, dst])
+        variables = load_variables(dst)
+        assert "params" in variables and "batch_stats" in variables
+        import json, os
+        cfgf = dst + ".config.json"
+        if os.path.exists(cfgf):
+            assert json.load(open(cfgf))["ported_from"] == src

@@ -14,6 +14,10 @@ import numpy as np
 def load_cloud(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         pts = np.load(path)
+    elif path.endswith(".ply"):  # the reference demo's input format
+        from lidarreg.data.fileio import read_ply
+
+        pts = read_ply(path)
     else:  # whitespace xyz text
         pts = np.loadtxt(path)
     return np.asarray(pts, np.float32)[:, :3]

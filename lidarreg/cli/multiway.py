@@ -190,6 +190,7 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    from ..data.fileio import write_ply
     from ..multiway.fileio import get_rgbd_file_lists, read_depth_png
     from ..multiway.fragments import make_fragment
     from ..multiway.trajectory import ate_rmse, multiway_register, write_trajectory
@@ -235,6 +236,14 @@ def main(argv=None):
         valids.append(jnp.asarray(v))
         if cam_poses is not None:
             frag_gt.append(cam_poses[lo])   # fragment frame = first frame
+        # fragment_%03d.ply like the reference's make_fragments output
+        # (Experiments/multiway/make_fragments.py:112-131 TSDF -> .ply)
+        os.makedirs(args.out, exist_ok=True)
+        write_ply(
+            os.path.join(args.out, f"fragment_{f:03d}.ply"),
+            pts[idx],
+            normals=np.asarray(normals)[idx] if normals is not None else None,
+        )
         print(f"  fragment {f}: {len(idx)} pts "
               f"({hi - lo} frames)", flush=True)
 

@@ -27,3 +27,4 @@ from .pipeline import (  # noqa: F401
     build_pointdsc_input,
 )
 from . import augment  # noqa: F401
+from .fileio import read_ply, write_ply  # noqa: F401

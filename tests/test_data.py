@@ -169,3 +169,89 @@ class TestPipeline:
         np.testing.assert_allclose(
             np.asarray(out["corr_pos"]).mean(axis=1), 0.0, atol=1e-4
         )
+
+
+class TestPlyIO:
+    """data/fileio.py — PLY subset the reference moves clouds through
+    (demo inputs, symmetric-ICP handshake, indoor fragments)."""
+
+    def test_binary_roundtrip_with_normals(self, tmp_path):
+        from lidarreg.data.fileio import read_ply, write_ply
+
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(-50, 50, (257, 3)).astype(np.float32)
+        nrm = rng.standard_normal((257, 3)).astype(np.float32)
+        p = str(tmp_path / "c.ply")
+        write_ply(p, xyz, normals=nrm, binary=True)
+        got, gn = read_ply(p, return_normals=True)
+        np.testing.assert_array_equal(got, xyz)
+        np.testing.assert_array_equal(gn, nrm)
+
+    def test_ascii_roundtrip(self, tmp_path):
+        from lidarreg.data.fileio import read_ply, write_ply
+
+        xyz = np.array([[1.5, -2.25, 3.0], [0.0, 0.125, -7.5]], np.float32)
+        p = str(tmp_path / "a.ply")
+        write_ply(p, xyz, binary=False)
+        got, gn = read_ply(p, return_normals=True)
+        np.testing.assert_allclose(got, xyz, rtol=1e-6)
+        assert gn is None
+
+    def test_binary_skips_unknown_vertex_props(self, tmp_path):
+        # o3d-style colored cloud: uchar r/g/b interleaved with xyz
+        from lidarreg.data.fileio import read_ply
+
+        p = str(tmp_path / "rgb.ply")
+        xyz = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], "<f4")
+        rgb = np.array([[255, 0, 10], [1, 2, 3]], np.uint8)
+        header = (
+            "ply\nformat binary_little_endian 1.0\nelement vertex 2\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        with open(p, "wb") as f:
+            f.write(header.encode())
+            for i in range(2):
+                f.write(xyz[i].tobytes() + rgb[i].tobytes())
+        got = read_ply(p)
+        np.testing.assert_array_equal(got, xyz)
+
+    def test_ascii_reference_style_file(self, tmp_path):
+        from lidarreg.data.fileio import read_ply
+
+        p = str(tmp_path / "ref.ply")
+        with open(p, "w") as f:
+            f.write("ply\nformat ascii 1.0\ncomment made by hand\n"
+                    "element vertex 3\nproperty float x\nproperty float y\n"
+                    "property float z\nend_header\n"
+                    "0 0 0\n1.5 2 3\n-4 5.25 6\n")
+        got = read_ply(p)
+        assert got.shape == (3, 3)
+        np.testing.assert_allclose(got[2], [-4, 5.25, 6])
+
+    def test_rejects_non_ply_and_big_endian(self, tmp_path):
+        from lidarreg.data.fileio import read_ply
+
+        p1 = str(tmp_path / "x.ply")
+        open(p1, "w").write("not a ply\n")
+        with pytest.raises(ValueError):
+            read_ply(p1)
+        p2 = str(tmp_path / "be.ply")
+        open(p2, "w").write(
+            "ply\nformat binary_big_endian 1.0\nelement vertex 0\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n")
+        with pytest.raises(ValueError):
+            read_ply(p2)
+
+    def test_demo_load_cloud_reads_ply(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from demo_registration import load_cloud
+        from lidarreg.data.fileio import write_ply
+
+        xyz = np.array([[1.0, 2.0, 3.0]], np.float32)
+        p = str(tmp_path / "d.ply")
+        write_ply(p, xyz)
+        np.testing.assert_array_equal(load_cloud(p), xyz)

@@ -24,6 +24,14 @@ def test_synthetic_multiway_pipeline(tmp_path):
     # pipeline floor is a few cm of ATE on 12 cm fragment spacing
     assert ate is not None and ate < 0.08, f"ATE {ate} m"
     assert os.path.exists(str(tmp_path / "mw" / "trajectory.log"))
+    # fragment .ply export (make_fragments.py:112-131 output parity)
+    from lidarreg.data.fileio import read_ply
+    for f in range(3):
+        ply = str(tmp_path / "mw" / f"fragment_{f:03d}.ply")
+        assert os.path.exists(ply)
+        pts, nrm = read_ply(ply, return_normals=True)
+        assert len(pts) > 100 and pts.shape[1] == 3
+        assert nrm is None or nrm.shape == pts.shape
     # rotations stay orthonormal through the optimization
     for T in nodes:
         np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3),

@@ -59,6 +59,9 @@ else
   timeout 3600 python bench.py 2>&1 | tail -12
 fi
 
+# ---- 9b. pair-batched solver throughput (vmapped match+solve) ------------ #
+timeout 3600 python scripts/batch_throughput.py 1 2 4 8 2>&1 | tail -6
+
 # ---- 9. GC_RANSAC matrix row with the native graph-cut LO ----------------- #
 # (VERDICT r2 item 10: the row must measure the real optimizer, not alias the
 # RANSAC row. Runs on surrogate features so it lands even when the textured

@@ -1,16 +1,23 @@
 #!/bin/bash
-# Round-3 TPU chain (resumed session): DGR pruned-map timing evidence
-# (VERDICT r2 item 3), then the textured FCGF retrain + matchability probe
-# (gates VERDICT item 2's composition). Serialized because the tunneled TPU
-# runs one job at a time.
+# Round-3 TPU chain (resumed session), ordered so a SHORT TPU window still
+# produces the headline evidence: correctness gate + bench + throughput
+# first, then DGR (VERDICT r2 item 3), then the textured FCGF retrain that
+# gates the learned-over-FCGF composition (item 2). The tunneled TPU runs
+# one job at a time.
 set -x
 cd /root/repo
 
 # ---- 0. fused structure build: TPU parity + timing A/B ------------------- #
-# MUST run before the retrain: training and bench now default to the fused
-# path, and the CPU-exact parity test can't see v5e-specific miscompiles
-# (two prior scatter/gather miscompiles on this chip — hashtable.py notes).
+# MUST run first: training and bench now default to the fused path, and the
+# CPU-exact parity test can't see v5e-specific miscompiles (two prior
+# scatter/gather miscompiles on this chip — hashtable.py notes).
 timeout 3600 python scripts/fused_ab.py 32768 2>&1 | tail -6
+
+# ---- 0b. headline bench (solver + e2e, confidence termination now on) ---- #
+timeout 3600 python bench.py 2>&1 | tail -12
+
+# ---- 0c. pair-batched solver throughput (vmapped match+solve) ------------ #
+timeout 3600 python scripts/batch_throughput.py 1 2 4 8 2>&1 | tail -6
 
 # ---- 1. DGR pruned vs unpruned forward/e2e timing ------------------------ #
 timeout 2400 python scripts/profile_dgr.py 64 2>&1 | tail -4
@@ -20,8 +27,14 @@ timeout 2400 python scripts/profile_dgr.py 0 2>&1 | tail -4
 timeout 5400 python scripts/benchmark_matrix.py --algos DGR \
   --dgr_weights outputs/r2_dgr_surr/model_best.msgpack 2>&1 | tail -12
 
+# ---- 2b. GC_RANSAC matrix row with the native graph-cut LO --------------- #
+# (VERDICT r2 item 10: the row must measure the real optimizer, not alias
+# the RANSAC row; cheap — 12 pairs, 50k budget.)
+timeout 3600 python scripts/benchmark_matrix.py \
+  --algos RANSAC GC_RANSAC 2>&1 | tail -8
+
 # ---- 3. textured FCGF retrain (matchability-collapse fix) ---------------- #
-timeout 14400 python -m lidarreg.cli.train --model fcgf \
+timeout 10800 python -m lidarreg.cli.train --model fcgf \
   --epochs 30 --steps_per_epoch 100 \
   --outdir outputs/r3_fcgf_textured 2>&1 | tail -15
 
@@ -58,13 +71,3 @@ else
   echo "composition gated OFF (recall ${rec:-unknown} < 50); rerunning bench only"
   timeout 3600 python bench.py 2>&1 | tail -12
 fi
-
-# ---- 9b. pair-batched solver throughput (vmapped match+solve) ------------ #
-timeout 3600 python scripts/batch_throughput.py 1 2 4 8 2>&1 | tail -6
-
-# ---- 9. GC_RANSAC matrix row with the native graph-cut LO ----------------- #
-# (VERDICT r2 item 10: the row must measure the real optimizer, not alias the
-# RANSAC row. Runs on surrogate features so it lands even when the textured
-# composition is gated off; cheap — 12 pairs, 50k budget.)
-timeout 3600 python scripts/benchmark_matrix.py \
-  --algos RANSAC GC_RANSAC 2>&1 | tail -8

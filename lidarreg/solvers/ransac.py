@@ -476,7 +476,12 @@ def ransac_register(
         return jnp.where(better, c, bc), jnp.where(better, rtb, brt)
 
     use_conf = 0.0 < cfg.confidence < 1.0
-    init = (jnp.int32(-1), jnp.zeros((12,), src.dtype))
+    # identity fallback: if every hypothesis is rejected (degenerate pair,
+    # empty keep mask) the result is still a valid rigid transform, matching
+    # the reference's failure convention (TEASER_plus_plus.py returns
+    # identity on solver failure)
+    init = (jnp.int32(-1),
+            jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0], src.dtype))
     drawn0 = 0
     if use_conf and 0 < cfg.first_chunk < min(C, cfg.num_hypotheses):
         # warmup prefix: a small PROSAC-ordered chunk scored before the

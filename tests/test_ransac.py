@@ -200,3 +200,57 @@ class TestConfidenceEarlyTermination:
         res = f(jnp.asarray(src), jnp.asarray(tgt), jax.random.PRNGKey(5))
         ok, re, te = registration_success(res.transform, jnp.asarray(T_gt))
         assert bool(ok), (float(re), float(te))
+
+
+class TestDegenerateInputs:
+    """Production hardening: the engine must stay finite (no NaN/crash) on
+    inputs the reference would feed it on pathological pairs."""
+
+    def test_all_invalid_keep_mask(self, rng):
+        src, tgt, T, _ = make_problem(rng, n=512)
+        keep = np.zeros(512, bool)
+        res = jax.jit(lambda k: ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(keep), k,
+            CFG_FAST))(jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(res.transform)))
+
+    def test_fewer_kept_than_sample_size(self, rng):
+        # 3 kept correspondences with 4-point samples: samples repeat points,
+        # Kabsch degenerates, refit guard keeps the last finite solution
+        src, tgt, T, _ = make_problem(rng, n=256, inlier_frac=1.0, noise=0.0)
+        keep = np.zeros(256, bool)
+        keep[:3] = True
+        res = jax.jit(lambda k: ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(keep), k,
+            CFG_FAST))(jax.random.PRNGKey(1))
+        Tm = np.asarray(res.transform)
+        assert np.all(np.isfinite(Tm))
+        R = Tm[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-2)
+
+    def test_collinear_correspondences(self, rng):
+        # all points on one line: rotation about the line is unobservable;
+        # the solution must still be a finite rigid transform mapping the
+        # line correctly
+        t_axis = np.array([1.0, 2.0, 0.5], np.float32)
+        t_axis /= np.linalg.norm(t_axis)
+        s = rng.uniform(-30, 30, (512, 1)).astype(np.float32)
+        src = s * t_axis
+        shift = np.array([3.0, -1.0, 0.25], np.float32)
+        tgt = src + shift
+        res = jax.jit(lambda k: ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt),
+            jnp.ones(512, bool), k, CFG_FAST))(jax.random.PRNGKey(2))
+        Tm = np.asarray(res.transform)
+        assert np.all(np.isfinite(Tm))
+        warped = src @ Tm[:3, :3].T + Tm[:3, 3]
+        # line maps onto the target line even if the roll is arbitrary
+        assert np.median(np.linalg.norm(warped - tgt, axis=1)) < 0.1
+
+    def test_identical_src_tgt_zero_motion(self, rng):
+        src, _, _, _ = make_problem(rng, n=512)
+        res = jax.jit(lambda k: ransac_register(
+            jnp.asarray(src), jnp.asarray(src),
+            jnp.ones(512, bool), k, CFG_FAST))(jax.random.PRNGKey(3))
+        Tm = np.asarray(res.transform)
+        np.testing.assert_allclose(Tm, np.eye(4), atol=1e-3)

@@ -129,3 +129,25 @@ class TestICPCompare:
                                    jnp.eye(4), 0.6, 15)
         ok, re, te = registration_success(T_est, jnp.asarray(T))
         assert bool(ok)
+
+
+class TestDegenerateMasks:
+    """Finite-output guarantees on all-invalid masks (production hardening;
+    the reference's equivalents are its try/except + identity fallbacks,
+    TEASER_plus_plus.py:16-59)."""
+
+    def test_teaser_empty_valid_stays_finite(self, rng):
+        from lidarreg.solvers.teaser import teaser_register
+
+        src = jnp.asarray(rng.uniform(-20, 20, (256, 3)).astype(np.float32))
+        res = teaser_register(src, src + 3.0, jnp.zeros(256, bool))
+        assert np.all(np.isfinite(np.asarray(res.transform)))
+
+    def test_icp_empty_valid_returns_init(self, rng):
+        from lidarreg.solvers.icp import icp_point_to_point
+
+        src = jnp.asarray(rng.uniform(-20, 20, (256, 3)).astype(np.float32))
+        empty = jnp.zeros(256, bool)
+        T = np.asarray(icp_point_to_point(src, empty, src + 3.0, empty,
+                                          jnp.eye(4)))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-6)

@@ -49,12 +49,32 @@ def main():
     def note(msg):
         print(msg, file=sys.stderr, flush=True)
 
+    import os
+    import threading
+
+    # Tunnel watchdog: when the axon TPU tunnel is down, the FIRST device op
+    # hangs forever inside backend init (no error — CLAUDE.md gotcha). A
+    # timer thread turns that into a fast, diagnosable failure instead of an
+    # infinite hang. os._exit because the hang holds the main thread.
+    deadline = threading.Timer(600.0, lambda: (
+        note("bench: FATAL — first device op did not complete in 600 s; "
+             "the TPU tunnel is likely down (jax backend init hangs)"),
+        os._exit(17),
+    ))
+    deadline.daemon = True
+    deadline.start()
+
     import jax
     import jax.numpy as jnp
 
     from lidarreg.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
+
+    probe = jnp.ones((128, 128))
+    jax.block_until_ready(probe @ probe)
+    deadline.cancel()
+    note(f"bench: device up ({jax.devices()[0].platform})")
 
     from lidarreg.core import registration_success
     from lidarreg.match import match_pair

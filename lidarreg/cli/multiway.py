@@ -102,7 +102,12 @@ def make_pairwise_register(clouds, valids, cfg_args):
     from ..match import match_pair
     from ..ops.fpfh import fpfh
     from ..solvers import RansacConfig, ransac_register
-    from ..solvers.icp import build_grid, grid_nn, icp_point_to_point
+    from ..solvers.icp import (
+        build_grid,
+        grid_nn,
+        grid_table_size,
+        icp_point_to_point,
+    )
 
     rcfg = RansacConfig(
         num_hypotheses=cfg_args.ransac_iters,
@@ -117,12 +122,10 @@ def make_pairwise_register(clouds, valids, cfg_args):
 
     def overlap_fitness(T, src, srcv, tgt, tgtv):
         cell = cfg_args.threshold
-        n = tgt.shape[0]
-        size = 1
-        while size < 2 * n:
-            size *= 2
-        table = build_grid(tgt, tgtv, cell, size)
-        warped = src @ T[:3, :3].T + T[:3, 3]
+        table = build_grid(tgt, tgtv, cell, grid_table_size(tgt.shape[0]))
+        # geometry matmul: pin f32 (TPU bf16 default = ~0.2 m at LiDAR scale)
+        warped = jnp.einsum("nj,ij->ni", src, T[:3, :3],
+                            precision="highest") + T[:3, 3]
         _, dist = grid_nn(table, tgt, warped, cell)
         hit = (dist < cfg_args.threshold) & srcv
         return float(jnp.sum(hit) / jnp.maximum(jnp.sum(srcv), 1))

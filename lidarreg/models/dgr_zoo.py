@@ -24,11 +24,20 @@ from ..sparse.hashtable import build_table
 from ..sparse.tensor import SparseTensor, downsample_coords, kernel_offsets
 from .fcgf import BasicBlockBN, SparseBatchNorm, SparseConvLayer
 from ..sparse.conv import (
+    PrunedKernelMap,
     invert_kernel_map,
     kernel_map,
     kernel_map_down,
     prune_kernel_map,
 )
+
+
+def _sow_prune_overflow(mod: nn.Module, S: "LevelStructs") -> None:
+    """Surface dropped pruned-map tail hits (silent conv accuracy loss)
+    into the "diagnostics" collection — read with mutable=["diagnostics"]
+    (solvers/dgr.py threads it into DGRResult.prune_overflow)."""
+    if S._prune and not mod.is_initializing():
+        mod.sow("diagnostics", "prune_tail_dropped", S.prune_overflow())
 
 
 def _mk_table(coords, valid, capacity):
@@ -73,6 +82,13 @@ class LevelStructs:
         if self._prune:
             return prune_kernel_map(m, self._prune, self._tail_cap)
         return m
+
+    def prune_overflow(self):
+        """Total tail hits dropped beyond tail_cap across built maps ([]
+        int32) — nonzero means convs silently lost contributions."""
+        vals = [m.tail_dropped for m in self._kmaps.values()
+                if isinstance(m, PrunedKernelMap)]
+        return sum(vals, jnp.int32(0))
 
     def km(self, in_lvl: int, out_lvl: int, k: int, units: int):
         """Kernel map reading level `in_lvl` onto level `out_lvl` coords."""
@@ -197,6 +213,7 @@ class SimpleNet(nn.Module):
         if self.normalize_feature:
             norm = jnp.sqrt(jnp.sum(out * out, axis=1, keepdims=True) + 1e-16)
             out = out / (norm + 1e-8) * S.valid[0][:, None]
+        _sow_prune_overflow(self, S)
         return SparseTensor(S.coords[0], out, S.valid[0], x.stride)
 
 
@@ -283,6 +300,7 @@ class PyramidNet(nn.Module):
         if self.normalize_feature:
             norm = jnp.sqrt(jnp.sum(out * out, axis=1, keepdims=True) + 1e-16)
             out = out / (norm + 1e-8) * S.valid[0][:, None]
+        _sow_prune_overflow(self, S)
         return SparseTensor(S.coords[0], out, S.valid[0], x.stride)
 
 

@@ -322,10 +322,15 @@ class ResUNetBN2C(nn.Module):
         km_u21 = invert_kernel_map(km_d12, c1.shape[0])
 
         if self.dim >= 6 and self.prune_offsets:
+            dropped = []
+
             def pk(m):
-                return prune_kernel_map(
+                pm = prune_kernel_map(
                     m, self.prune_offsets, self.prune_tail_cap
                 )
+                if isinstance(pm, PrunedKernelMap):
+                    dropped.append(pm.tail_dropped)
+                return pm
 
             same_stem = km1 is km1_c1
             km1_c1 = pk(km1_c1)
@@ -333,6 +338,15 @@ class ResUNetBN2C(nn.Module):
             km2, km4, km8 = pk(km2), pk(km4), pk(km8)
             km_d12, km_d24, km_d48 = pk(km_d12), pk(km_d24), pk(km_d48)
             km_u84, km_u42, km_u21 = pk(km_u84), pk(km_u42), pk(km_u21)
+            if dropped and not self.is_initializing():
+                # tail hits beyond prune_tail_cap are DROPPED from the conv
+                # (silent accuracy loss); surface the count so callers can
+                # detect it — apply with mutable=["diagnostics"] to read
+                # (solvers/dgr.py threads it into DGRResult.prune_overflow)
+                self.sow(
+                    "diagnostics", "prune_tail_dropped",
+                    sum(dropped, jnp.int32(0)),
+                )
 
         # ---- encoder ----------------------------------------------------- #
         no = lambda k: k**self.dim  # noqa: E731

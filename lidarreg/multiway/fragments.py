@@ -421,10 +421,17 @@ def make_fragment(
         for t_ in range(s + n_keyframes_per_n_frame, F,
                         n_keyframes_per_n_frame):
             ok, T, info = _odo(s, t_)
-            if bool(ok):
+            T = np.asarray(T)
+            info = np.asarray(info)
+            # same finiteness guard as the sequential edges: a near-singular
+            # keyframe solve can return ok=True with a non-finite (T, info),
+            # which would NaN the whole pose graph. Loop closures are
+            # optional, so a failed one is simply skipped (the reference
+            # adds non-adjacent edges only on success,
+            # make_fragments.py register_one_rgbd_pair).
+            if bool(ok) and np.isfinite(T).all() and np.isfinite(info).all():
                 edges.append(
-                    PoseGraphEdge(s, t_, np.linalg.inv(np.asarray(T)),
-                                  np.asarray(info), True)
+                    PoseGraphEdge(s, t_, np.linalg.inv(T), info, True)
                 )
     opt_nodes, _, _ = optimize_pose_graph(np.stack(nodes), edges)
     opt_nodes = np.asarray(opt_nodes)

@@ -105,7 +105,9 @@ def global_registration(
 
     def loss_fn(p):
         R = ortho6d_to_rotation(p["rot6d"])
-        warped = points @ R.T + p["trans"]
+        # geometry matmul: pin f32 (TPU bf16 default = ~0.2 m at LiDAR scale)
+        warped = jnp.einsum("nj,ij->ni", points, R,
+                            precision="highest") + p["trans"]
         return high_dim_smooth_l1(
             warped, trans_points, weights, quantization_size
         )
@@ -129,10 +131,12 @@ def global_registration(
         near = jnp.abs(loss_prev - loss) < loss_prev * break_threshold_ratio
         return p, opt, i + 1, loss, jnp.where(near, bc + 1, bc)
 
-    loss0 = loss_fn(params0)
+    # seed loss_prev with +inf, not loss(params0): the first body iteration
+    # evaluates the loss at params0 too, so seeding with loss0 would compare
+    # it with itself and always burn one break-count increment spuriously
     p, _, _, _, _ = lax.while_loop(
         cond, body,
-        (params0, opt0, jnp.int32(0), loss0, jnp.int32(0)),
+        (params0, opt0, jnp.int32(0), jnp.float32(jnp.inf), jnp.int32(0)),
     )
     R = ortho6d_to_rotation(p["rot6d"])
     return R, p["trans"]
@@ -155,6 +159,12 @@ class DGRResult(NamedTuple):
     weights: jnp.ndarray      # [N] per-correspondence inlier weights
     idx1: jnp.ndarray         # [N] matched target row per source row
     used_safeguard: jnp.ndarray  # [] bool
+    # [] int32 — kernel-map tail hits dropped beyond prune_tail_cap during
+    # the inlier-net forward; nonzero means the 6-D convs silently lost
+    # contributions (raise DGRConfig/model prune_tail_cap if it fires).
+    # Plain-int default: a module-scope jnp constant would initialize the
+    # backend at import time (hangs when the TPU tunnel is down).
+    prune_overflow: jnp.ndarray | int = 0
 
 
 def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig()):
@@ -185,7 +195,16 @@ def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig
 
         coords6 = jnp.concatenate([c0, c1[idx1]], axis=1)  # [N, 6]
         st6 = SparseTensor(coords6, jnp.ones((coords6.shape[0], 1)), m0, 1)
-        out = inlier_model.apply(variables, st6, train=False)
+        out, diag = inlier_model.apply(
+            variables, st6, train=False, mutable=["diagnostics"]
+        )
+        # total pruned-map tail hits dropped during the forward (models sow
+        # "prune_tail_dropped"; empty dict for unpruned / 3-D models)
+        prune_overflow = sum(
+            (jnp.sum(leaf).astype(jnp.int32)
+             for leaf in jax.tree_util.tree_leaves(diag)),
+            jnp.int32(0),
+        )
         logits = out.feats[:, 0]
         weights = jax.nn.sigmoid(logits) * m0
         weights = jnp.where(weights < cfg.clip_weight_thresh, 0.0, weights)
@@ -213,7 +232,7 @@ def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig
 
         T = lax.cond(use_sg, sg_branch, dgr_branch,
                      (src, tgt, weights, m0, key))
-        return DGRResult(T, weights, idx1, use_sg)
+        return DGRResult(T, weights, idx1, use_sg, prune_overflow)
 
     def register(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key):
         return _register(inlier_variables, F0, F1, xyz0, xyz1, c0, c1,

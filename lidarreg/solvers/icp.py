@@ -28,6 +28,17 @@ from ..sparse.hashtable import build_table, lookup
 from ..sparse.tensor import kernel_offsets
 
 
+def grid_table_size(n: int, factor: int = 8) -> int:
+    """Table entry count for `n` keys honoring the single-probe lookup's
+    sizing contract (hashtable.py: >= ~8x keys keeps flagged buckets rare
+    enough that the fixed retry pool never overflows — an undersized table
+    silently reports present keys as absent)."""
+    size = 1
+    while size < factor * n:
+        size *= 2
+    return size
+
+
 def build_grid(tgt: jnp.ndarray, tgt_valid: jnp.ndarray, cell: float,
                table_size: int):
     coords = jnp.floor(tgt / cell).astype(jnp.int32)
@@ -68,14 +79,14 @@ def icp_point_to_point(
     """ICP refinement from `init_T`; returns the refined [4, 4] transform."""
     n_tgt = tgt.shape[0]
     if table_size is None:
-        table_size = 1
-        while table_size < 8 * n_tgt:
-            table_size *= 2
+        table_size = grid_table_size(n_tgt)
     cell = max_corr_dist * 0.75
     table = build_grid(tgt, tgt_valid, cell, table_size)
 
     def body(_, T):
-        warped = src @ T[:3, :3].T + T[:3, 3]
+        # geometry matmul: pin f32 (TPU bf16 default = ~0.2 m at LiDAR scale)
+        warped = jnp.einsum("nj,ij->ni", src, T[:3, :3],
+                            precision="highest") + T[:3, 3]
         nn, dist = grid_nn(table, tgt, warped, cell)
         w = ((dist < max_corr_dist) & src_valid).astype(src.dtype)
         R, t = weighted_kabsch(warped[None], nn[None], w[None], method="jacobi")

@@ -501,7 +501,13 @@ def ransac_register(
             cfg=cfg._replace(chunk_size=cfg.first_chunk),
             total_hyps=n_chunks * cfg.chunk_size,
         )
-        init = make_chunk_best(w_score, cfg.first_chunk)(jnp.int32(0))
+        # merge with (never replace) the identity init: a fully-rejected
+        # warmup chunk returns count -1 with the Rt of a rejected sample
+        # (possibly NaN); strict > keeps the identity fallback in that case
+        w_count, w_rt = make_chunk_best(w_score, cfg.first_chunk)(jnp.int32(0))
+        w_better = w_count > init[0]
+        init = (jnp.where(w_better, w_count, init[0]),
+                jnp.where(w_better, w_rt, init[1]))
         drawn0 = cfg.first_chunk
     if use_conf and (n_chunks > 1 or drawn0):
         # Open3D RANSACConvergenceCriteria (FR.py:136): stop once the drawn

@@ -29,7 +29,7 @@ import optax
 from jax import lax
 
 from ..core.se3 import euler_to_rotation, integrate
-from .icp import build_grid
+from .icp import build_grid, grid_table_size
 from ..sparse.hashtable import lookup
 from ..sparse.tensor import kernel_offsets
 
@@ -44,10 +44,7 @@ def estimate_normals(
     estimate_normals, knn 13 / hybrid radius).
     """
     n = pts.shape[0]
-    size = 1
-    while size < 2 * n:
-        size *= 2
-    table = build_grid(pts, valid, radius, size)
+    table = build_grid(pts, valid, radius, grid_table_size(n))
     q = jnp.floor(pts / radius).astype(jnp.int32)
     offs = kernel_offsets(3, 1)
     nb = lookup(table, q[None] + offs[:, None])          # [27, N]
@@ -70,10 +67,8 @@ def _mutual_bb_pairs(warped_a, va, b, vb, table_b, cell):
     """Best-buddy (mutual grid-NN) pairs between the warped source and the
     target. Returns (matched target rows [N], bb mask [N])."""
     row_b, d2_ab = _row_of(table_b, b, warped_a, cell)
-    size = 1
-    while size < 2 * warped_a.shape[0]:
-        size *= 2
-    table_a = build_grid(warped_a, va, cell, size)
+    table_a = build_grid(warped_a, va, cell,
+                         grid_table_size(warped_a.shape[0]))
     # mutual: the matched target point's nearest warped-source row is me
     row_back, _ = _row_of(table_a, warped_a, b[row_b], cell)
     n = warped_a.shape[0]
@@ -98,9 +93,7 @@ def bbr_f(
     """
     n_tgt = tgt.shape[0]
     if table_size is None:
-        table_size = 1
-        while table_size < 2 * n_tgt:
-            table_size *= 2
+        table_size = grid_table_size(n_tgt)
     cell = 1.0
     table_b = build_grid(tgt, tgt_valid, cell, table_size)
     tgt_normals = estimate_normals(tgt, tgt_valid)
@@ -116,7 +109,8 @@ def bbr_f(
 
     def loss_fn(p):
         R, t = pose(p)
-        warped = src @ R.T + t
+        # geometry matmul: pin f32 (TPU bf16 default = ~0.2 m at LiDAR scale)
+        warped = jnp.einsum("nj,ij->ni", src, R, precision="highest") + t
         row_b, is_bb = _mutual_bb_pairs(
             warped, src_valid, tgt, tgt_valid, table_b, cell
         )
@@ -178,9 +172,7 @@ def symmetric_icp(
     """
     n_tgt = tgt.shape[0]
     if table_size is None:
-        table_size = 1
-        while table_size < 2 * n_tgt:
-            table_size *= 2
+        table_size = grid_table_size(n_tgt)
     cell = max_corr_dist * 0.75
     table = build_grid(tgt, tgt_valid, cell, table_size)
     n_src = estimate_normals(src, src_valid)
@@ -188,8 +180,9 @@ def symmetric_icp(
 
     def body(_, T):
         R, t = T[:3, :3], T[:3, 3]
-        warped = src @ R.T + t
-        wn = n_src @ R.T
+        # geometry matmuls: pin f32 (TPU bf16 default = ~0.2 m at LiDAR scale)
+        warped = jnp.einsum("nj,ij->ni", src, R, precision="highest") + t
+        wn = jnp.einsum("nj,ij->ni", n_src, R, precision="highest")
         row, d2 = _row_of(table, tgt, warped, cell)
         q = tgt[row]
         nq = n_tgt_arr[row]

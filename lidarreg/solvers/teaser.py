@@ -101,13 +101,17 @@ def gnc_tls_rotation(
                        precision="highest")
         return rotation_from_covariance(H, method="jacobi")
 
+    def warp_tims(R):
+        # geometry matmul: pin f32 (TPU bf16 default, meter-scale TIMs)
+        return jnp.einsum("nj,ij->ni", tims_src, R, precision="highest")
+
     R0 = solve(w0)
-    r2 = jnp.sum((tims_tgt - tims_src @ R0.T) ** 2, axis=-1)
+    r2 = jnp.sum((tims_tgt - warp_tims(R0)) ** 2, axis=-1)
     mu0 = jnp.maximum(cbar_sq / (2.0 * jnp.max(r2 * tim_valid) - cbar_sq + 1e-9), 1e-6)
 
     def body(carry, _):
         R, mu = carry
-        r2 = jnp.sum((tims_tgt - tims_src @ R.T) ** 2, axis=-1)
+        r2 = jnp.sum((tims_tgt - warp_tims(R)) ** 2, axis=-1)
         # TLS weights (Yang et al., GNC): closed form with truncation
         ub = (mu + 1.0) / mu * cbar_sq
         lb = mu / (mu + 1.0) * cbar_sq
@@ -149,7 +153,7 @@ def teaser_register(
     )
 
     # translation: weighted median per component over clique pairs
-    resid = tgt - src @ R.T
+    resid = tgt - jnp.einsum("nj,ij->ni", src, R, precision="highest")
     wt = (w * tim_valid + clique[anchor] * (jnp.arange(n) == anchor))
 
     def wmedian(x, wgt):

@@ -118,6 +118,7 @@ class TestDGRRegister:
         res = reg(F0, F1, jnp.asarray(src), jnp.asarray(tgt_full), c0, c1,
                   m, m, jax.random.PRNGKey(1))
         assert bool(res.used_safeguard)
+        assert int(res.prune_overflow) == 0
         ok, re, te = registration_success(res.transform, jnp.asarray(T))
         assert bool(ok), f"RE={float(re)} TE={float(te)}"
 

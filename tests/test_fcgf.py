@@ -209,6 +209,39 @@ class TestFusedStructureBuild:
             np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-6
         )
 
+    def test_prune_overflow_diagnostic(self, rng):
+        """Tail hits dropped beyond prune_tail_cap (silent conv accuracy
+        loss) must be surfaced via the "diagnostics" collection."""
+        def make6(lo, hi):
+            coords6 = np.unique(
+                rng.integers(lo, hi, (400, 6)).astype(np.int32), axis=0
+            )
+            cap, n = 512, len(coords6)
+            full = np.concatenate(
+                [coords6, np.full((cap - n, 6), 2**20, np.int32)]
+            )
+            valid = jnp.asarray(np.arange(cap) < n)
+            feats = jnp.ones((cap, 1), jnp.float32) * valid[:, None]
+            return SparseTensor(jnp.asarray(full), feats, valid, 1)
+
+        kw = dict(dim=6, out_channels=1, conv1_kernel_size=3,
+                  normalize_feature=False, compute_dtype=None)
+        model = ResUNetBN2C(**kw)
+        # benchmark-like sparsity (LiDAR-scale quantized pair coords):
+        # the default (64-offset, 2048-tail) pruning is exact -> 0 dropped
+        x_sparse = make6(-160, 160)
+        params = model.init(jax.random.PRNGKey(0), x_sparse, train=False)
+        _, diag = model.apply(params, x_sparse, train=False,
+                              mutable=["diagnostics"])
+        assert int(diag["diagnostics"]["prune_tail_dropped"][0]) == 0
+        # a dense coordinate block (coarse levels approach a full 3^6
+        # stencil) overflows the tail: the count must be REPORTED, not
+        # silently swallowed
+        x_dense = make6(-12, 12)
+        _, diag = model.apply(params, x_dense, train=False,
+                              mutable=["diagnostics"])
+        assert int(diag["diagnostics"]["prune_tail_dropped"][0]) > 0
+
     def test_fused_build_gradient_parity(self, rng):
         """Training runs the fused path: grads must match the serial path."""
         import jax.flatten_util

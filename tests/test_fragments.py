@@ -224,6 +224,45 @@ class TestMakeFragment:
             assert err < 0.02, (i, err)
 
 
+    def test_nonfinite_keyframe_edge_is_skipped(self, monkeypatch):
+        # a near-singular keyframe solve can return ok=True with a
+        # non-finite (T, info); such a loop-closure edge must be SKIPPED
+        # (not fed to the pose graph, where one NaN edge poisons every node)
+        import lidarreg.multiway.fragments as frag_mod
+
+        box = (-0.4, 0.3, -0.3, 0.2, 1.5)
+        poses, depths = [], []
+        for i in range(6):
+            cam_from_world = np.eye(4)
+            cam_from_world[:3, 3] = [0.03 * i, -0.01 * i, 0.0]
+            poses.append(np.linalg.inv(cam_from_world))
+            depths.append(render_plane_depth(cam_from_world, box=box,
+                                             corner=True))
+
+        real_odo = frag_mod.rgbd_odometry
+        calls = {"n": 0}
+
+        def poisoned(*args, **kw):
+            calls["n"] += 1
+            if calls["n"] == 6:   # first keyframe pair (after 5 sequential)
+                bad = jnp.full((4, 4), jnp.nan, jnp.float32)
+                return jnp.bool_(True), bad, jnp.full((6, 6), jnp.nan)
+            return real_odo(*args, **kw)
+
+        monkeypatch.setattr(frag_mod, "rgbd_odometry", poisoned)
+        pts, nrm, valid, opt = make_fragment(
+            depths, K, n_keyframes_per_n_frame=2,
+            volume_dims=(64, 64, 64), volume_origin=(-1.0, -1.0, 1.2),
+            tsdf_cubic_size=1.0 / 32.0 * 512.0, capacity=20000,
+        )
+        assert calls["n"] > 6    # the keyframe loop kept running
+        assert np.isfinite(np.asarray(opt)).all()
+        assert np.isfinite(np.asarray(pts)[np.asarray(valid)]).all()
+        for i, P in enumerate(poses):
+            err = np.linalg.norm(opt[i][:3, 3] - P[:3, 3])
+            assert err < 0.02, (i, err)
+
+
 class TestFileIO:
     def test_alphanum_sort_and_lists(self, tmp_path):
         from lidarreg.multiway import get_rgbd_file_lists, sorted_alphanum

@@ -214,6 +214,24 @@ class TestDegenerateInputs:
             CFG_FAST))(jax.random.PRNGKey(0))
         assert np.all(np.isfinite(np.asarray(res.transform)))
 
+    def test_all_invalid_keep_mask_with_warmup(self, rng):
+        # production defaults run confidence mode with a warmup prefix
+        # (first_chunk < chunk_size). A fully-rejected warmup chunk returns
+        # count -1 with the Rt of a rejected sample (possibly NaN); it must
+        # MERGE with, not replace, the identity fallback init.
+        src, tgt, T, _ = make_problem(rng, n=512)
+        keep = np.zeros(512, bool)
+        cfg = CFG_FAST._replace(
+            num_hypotheses=8192, chunk_size=4096,
+            confidence=0.9995, first_chunk=512,
+        )
+        res = jax.jit(lambda k: ransac_register(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(keep), k,
+            cfg))(jax.random.PRNGKey(3))
+        Tm = np.asarray(res.transform)
+        assert np.all(np.isfinite(Tm))
+        np.testing.assert_allclose(Tm, np.eye(4), atol=1e-6)
+
     def test_fewer_kept_than_sample_size(self, rng):
         # 3 kept correspondences with 4-point samples: samples repeat points,
         # Kabsch degenerates, refit guard keeps the last finite solution

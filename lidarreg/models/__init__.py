@@ -4,6 +4,8 @@ from .fcgf import (  # noqa: F401
     ResUNetBN2B,
     ResUNetBN2C,
     ResUNetBN2D,
+    ResUNetBN2E,
+    ResUNetBN2F,
     MODEL_REGISTRY,
 )
 from .dgr_zoo import (  # noqa: F401

@@ -424,17 +424,39 @@ def ResUNetBN2B(**kw):
 
 
 def ResUNetBN2D(**kw):
-    """Zoo alias: wider decoder (TR [_, 64, 64, 128, 128])."""
+    """Zoo alias (fcgf.py:874-877): TR [_, 64, 64, 128, 128]."""
     kw.setdefault("tr_channels", (0, 64, 64, 128, 128))
     return ResUNetBN2C(**kw)
 
 
-# name registry (DGR/model/__init__.py:12-38 load_model equivalent)
+def ResUNetBN2E(**kw):
+    """Zoo alias (fcgf.py:880-883): CH [_, 128, 128, 128, 256],
+    TR [_, 64, 128, 128, 128]."""
+    kw.setdefault("channels", (0, 128, 128, 128, 256))
+    kw.setdefault("tr_channels", (0, 64, 128, 128, 128))
+    return ResUNetBN2C(**kw)
+
+
+def ResUNetBN2F(**kw):
+    """Zoo alias (fcgf.py:886-889): CH [_, 16, 32, 64, 128],
+    TR [_, 16, 32, 64, 128]."""
+    kw.setdefault("channels", (0, 16, 32, 64, 128))
+    kw.setdefault("tr_channels", (0, 16, 32, 64, 128))
+    return ResUNetBN2C(**kw)
+
+
+# name registry (DGR/model/__init__.py:12-38 load_model equivalent).
+# Covers the full ResUNet2/BN family (fcgf.py:854-894) minus the
+# HYPER_CROSS-region ...X variants and the IN/SP/v2 families — none are
+# instantiated anywhere in the reference benchmark (cal_fcgf.py:8 and
+# LidarFeatureExtractor.py:5 import ResUNetBN2C only).
 MODEL_REGISTRY = {
     "ResUNetBN2": ResUNetBN2,
     "ResUNetBN2B": ResUNetBN2B,
     "ResUNetBN2C": ResUNetBN2C,
     "ResUNetBN2D": ResUNetBN2D,
+    "ResUNetBN2E": ResUNetBN2E,
+    "ResUNetBN2F": ResUNetBN2F,
 }
 
 

@@ -188,7 +188,42 @@ class TestModelZoo:
         from lidarreg.models.fcgf import load_model, MODEL_REGISTRY
 
         assert set(MODEL_REGISTRY) == {
-            "ResUNetBN2", "ResUNetBN2B", "ResUNetBN2C", "ResUNetBN2D"
+            "ResUNetBN2", "ResUNetBN2B", "ResUNetBN2C", "ResUNetBN2D",
+            "ResUNetBN2E", "ResUNetBN2F",
         }
         m = load_model("ResUNetBN2B")(out_channels=16)
         assert m.tr_channels == (0, 64, 64, 64, 64)
+        # fcgf.py:880-889 channel plans
+        m = load_model("ResUNetBN2E")()
+        assert m.channels == (0, 128, 128, 128, 256)
+        assert m.tr_channels == (0, 64, 128, 128, 128)
+        m = load_model("ResUNetBN2F")()
+        assert m.channels == (0, 16, 32, 64, 128)
+        assert m.tr_channels == (0, 16, 32, 64, 128)
+
+    def test_bn2f_forward(self, rng):
+        # the narrow F variant must run end-to-end (structure shared with
+        # BN2C; channel plans are the only difference)
+        import jax
+        import jax.numpy as jnp
+        from lidarreg.models import ResUNetBN2F
+        from lidarreg.sparse.tensor import SparseTensor
+
+        cap = 512
+        coords = np.unique(
+            rng.integers(-40, 40, (400, 3)).astype(np.int32), axis=0
+        )
+        n = len(coords)
+        coords = np.concatenate(
+            [coords, np.full((cap - n, 3), 2**20, np.int32)]
+        )
+        valid = jnp.asarray(np.arange(cap) < n)
+        feats = jnp.ones((cap, 1), jnp.float32) * valid[:, None]
+        x = SparseTensor(jnp.asarray(coords), feats, valid, 1)
+        m = ResUNetBN2F(compute_dtype=None)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.feats.shape == (cap, 32)
+        o = np.asarray(out.feats)[np.asarray(valid)]
+        assert np.isfinite(o).all()
+        np.testing.assert_allclose(np.linalg.norm(o, axis=1), 1.0, atol=1e-3)

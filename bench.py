@@ -93,8 +93,12 @@ def main():
     # Surrogate unit features with realistic inlier structure (FCGF encoder
     # integration replaces these; feature *matching* cost is identical).
     def feats(xyz, key, T=None):
-        p = xyz if T is None else (xyz - jnp.asarray(T[:3, 3])) @ jnp.asarray(
-            T[:3, :3].astype(np.float32)
+        # geometry matmul: pinned precision (meter-scale coords through the
+        # TPU bf16 default would decorrelate F1 from F0 by ~0.2 m)
+        p = xyz if T is None else jnp.matmul(
+            xyz - jnp.asarray(T[:3, 3]),
+            jnp.asarray(T[:3, :3].astype(np.float32)),
+            precision="highest",
         )
         f = jnp.concatenate([jnp.sin(p * s) for s in (0.11, 0.37, 0.93)], 1)
         f = f + jax.random.normal(key, f.shape) * 0.35
@@ -189,19 +193,13 @@ def main():
     # adds to the timed path is ~1 ms and is PART of the honest pipeline cost
     fwd = jax.jit(lambda p, st: model.apply(p, st, train=False))
 
-    @jax.jit
-    def match_solve(F0, F1, m0, m1, xyz0, xyz1, key):
-        c = match_pair(F0, F1, xyz0, mask0=m0, mask1=m1, mode="GPF")
-        return ransac_register(
-            xyz0, xyz1[c.idx1], c.keep, key, cfg,
-            quality=c.quality, refit_mask=c.valid,
-        )
-
+    # the solve stage IS the already-compiled `register` program (identical
+    # HLO -> persistent-cache hit; a re-ordered duplicate would recompile a
+    # multi-minute program on a cold cache)
     def register_e2e(key):
         F = fwd(params, st_pair)
-        return match_solve(F.feats[:CAP], F.feats[CAP:],
-                           F.valid[:CAP], F.valid[CAP:],
-                           xyz0, xyz1, key)
+        return register(F.feats[:CAP], F.feats[CAP:], xyz0, xyz1,
+                        F.valid[:CAP], F.valid[CAP:], key)
 
     note("bench: compiling e2e (FCGF) path...")
     r0 = register_e2e(jax.random.PRNGKey(0))
@@ -219,15 +217,17 @@ def main():
         F = fwd(params, st_pair)
         jax.block_until_ready(F.feats)
         t1 = time.perf_counter()
-        r = match_solve(F.feats[:CAP], F.feats[CAP:],
-                        F.valid[:CAP], F.valid[CAP:],
-                        xyz0, xyz1, jax.random.PRNGKey(trial))
+        r = register(F.feats[:CAP], F.feats[CAP:], xyz0, xyz1,
+                     F.valid[:CAP], F.valid[CAP:], jax.random.PRNGKey(trial))
         jax.block_until_ready(r.transform)
         times_e2e.append(time.perf_counter() - t0)
         times_fwd.append(t1 - t0)
     e2e_pairs_per_sec = 1.0 / min(times_e2e)
+    # per-trial decomposition: min(e2e)-min(fwd) mixes different trials and
+    # can even go negative under tunnel jitter
+    solve_ms = 1000 * min(e - f for e, f in zip(times_e2e, times_fwd))
     note(f"bench: e2e split fwd={1000*min(times_fwd):.1f} ms, "
-         f"solve={1000*(min(times_e2e)-min(times_fwd)):.1f} ms")
+         f"solve={solve_ms:.1f} ms")
 
     print(
         json.dumps(

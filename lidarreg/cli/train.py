@@ -96,6 +96,22 @@ def main(argv=None):
                                        cap, jnp.int32(m))
         return st, xyz
 
+    from ..core.se3 import transform as se3_transform
+
+    def surrogate_desc(xyz, T, k):
+        # GT-aligned position descriptor + noise (--features surrogate).
+        # One shared implementation (pointdsc/oanet + dgr branches) so the
+        # protocol can't silently diverge; se3.transform pins
+        # precision="highest" — meter-scale coords through the bf16-default
+        # matmul would inject ~0.2 m of systematic error into descriptors
+        # whose deliberate noise is 0.35 m.
+        T = jnp.asarray(np.asarray(T, np.float32))
+        return se3_transform(xyz, T) + jax.random.normal(k, xyz.shape) * 0.35
+
+    if args.use_mesh and args.model in ("fcgf", "dgr") and args.batch_size != 1:
+        tee("note: --batch_size applies to pointdsc/oanet only; "
+            "fcgf/dgr train one distinct pair per device")
+
     # ------------------------------------------------------------------ #
     if args.model == "fcgf":
         from ..models.fcgf import ResUNetBN2C
@@ -127,14 +143,19 @@ def main(argv=None):
         step = make_train_step(model, cfg, mesh=mesh)
 
         def run_step(state, key):
-            batch = sample_batch(train_ds, key)
             if mesh:
+                # one DISTINCT pair per device (shard_map splits axis 0);
+                # broadcasting a single pair would pmean identical grads —
+                # N chips for 1 chip's training signal
                 batch = jax.tree.map(
-                    lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), batch
+                    lambda *xs: jnp.stack(xs),
+                    *[sample_batch(train_ds, k)
+                      for k in jax.random.split(key, n_dev)],
                 )
+            else:
+                batch = sample_batch(train_ds, key)
             return step(state, batch)
 
-        from ..core.se3 import transform as se3_transform
         from ..ops.knn import find_nn
 
         @jax.jit
@@ -213,11 +234,7 @@ def main(argv=None):
                             st, xyz = prepare_sparse_input(
                                 jnp.asarray(pad), args.voxel_size, cap,
                                 jnp.int32(m))
-                            p = xyz @ jnp.asarray(
-                                T[:3, :3].T.astype(np.float32)
-                            ) + jnp.asarray(T[:3, 3].astype(np.float32))
-                            f = p + jax.random.normal(k, p.shape) * 0.35
-                            return xyz, f, st.valid
+                            return xyz, surrogate_desc(xyz, T, k), st.valid
 
                         xyz0, F0, m0 = fx(ca, T_gt, ka)
                         xyz1, F1, m1 = fx(cb, np.eye(4), kb)
@@ -288,12 +305,13 @@ def main(argv=None):
                 out["gt_trans"] = item["gt_trans"]
                 return out
 
-            def sample_batch(ds_unused, key):
+            def sample_batch(ds_unused, key, r=None):
+                r = rng if r is None else r
                 ds_pc = pc_train if ds_unused is train_ds else pc_val
                 outs = []
                 for b in range(args.batch_size * max(n_dev, 1)):
-                    i = int(rng.integers(len(ds_pc)))
-                    item = _fixed(ds_pc[i], args.num_node, rng)
+                    i = int(r.integers(len(ds_pc)))
+                    item = _fixed(ds_pc[i], args.num_node, r)
                     outs.append({k: jnp.asarray(v)[None]
                                  for k, v in item.items()})
                 return {
@@ -301,10 +319,11 @@ def main(argv=None):
                     for k in outs[0]
                 }
         else:
-            def sample_batch(ds, key):
+            def sample_batch(ds, key, r=None):
+                r = rng if r is None else r
                 outs = []
                 for b in range(args.batch_size * max(n_dev, 1)):
-                    i = int(rng.integers(len(ds)))
+                    i = int(r.integers(len(ds)))
                     key, sub = jax.random.split(key)
                     outs.append(pipe.pointdsc_batch(ds, i, sub))
                 return {
@@ -320,7 +339,11 @@ def main(argv=None):
             return step(state, sample_batch(train_ds, key))
 
         def val_metric(state):
-            b = sample_batch(val_ds, jax.random.PRNGKey(999))
+            # FIXED pairs + fixed resampling each epoch: model_best must
+            # compare checkpoints on identical validation data, not on
+            # whichever pair the advancing train rng happens to draw
+            b = sample_batch(val_ds, jax.random.PRNGKey(999),
+                             r=np.random.default_rng(999))
             kw = {"testing": False} if args.model == "pointdsc" else {}
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
@@ -370,18 +393,16 @@ def main(argv=None):
             **({"lr": args.lr} if args.lr else {}),
         )
 
-        def sample_batch(ds, key):
-            i = int(rng.integers(len(ds)))
+        def sample_batch(ds, key, r=None):
+            i = int((rng if r is None else r).integers(len(ds)))
             T, a, b = ds.get_pair(i)
             st0, xyz0 = voxelized(a)
             st1, xyz1 = voxelized(b)
             if args.features == "surrogate":
                 # GT-aligned position descriptors (see --features help)
                 ka, kb = jax.random.split(jax.random.fold_in(key, i))
-                Ta = jnp.asarray(T.astype(np.float32))
-                F0 = (xyz0 @ Ta[:3, :3].T + Ta[:3, 3]
-                      + jax.random.normal(ka, xyz0.shape) * 0.35)
-                F1 = xyz1 + jax.random.normal(kb, xyz1.shape) * 0.35
+                F0 = surrogate_desc(xyz0, T, ka)
+                F1 = surrogate_desc(xyz1, np.eye(4), kb)
                 f0v, f1v = st0.valid, st1.valid
             else:
                 f0 = fcgf_apply(fcgf_vars, st0)
@@ -403,16 +424,25 @@ def main(argv=None):
         step = make_train_step(inlier_net, cfg, mesh=mesh)
 
         def run_step(state, key):
-            batch = sample_batch(train_ds, key)
             if mesh:
+                # one DISTINCT pair per device (see fcgf run_step)
                 batch = jax.tree.map(
-                    lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), batch
+                    lambda *xs: jnp.stack(xs),
+                    *[sample_batch(train_ds, k)
+                      for k in jax.random.split(key, n_dev)],
                 )
+            else:
+                batch = sample_batch(train_ds, key)
             return step(state, batch)
 
+        # built ONCE: re-creating the step closure per epoch re-traces the
+        # full grad+optimizer program each time (minutes through the tunnel)
+        _val_step = step if mesh is None else make_train_step(inlier_net, cfg)
+
         def val_metric(state):
-            _, m = make_train_step(inlier_net, cfg)(
-                state, sample_batch(val_ds, jax.random.PRNGKey(999))
+            _, m = _val_step(
+                state, sample_batch(val_ds, jax.random.PRNGKey(999),
+                                    r=np.random.default_rng(999)),
             )
             return -float(m["bce"])
 

@@ -230,9 +230,19 @@ def make_dgr_register(inlier_model, inlier_variables, cfg: DGRConfig = DGRConfig
             src, tgt, _, m0, key = args
             return ransac_register(src, tgt, m0, key, rcfg).transform
 
-        T = lax.cond(use_sg, sg_branch, dgr_branch,
-                     (src, tgt, weights, m0, key))
-        return DGRResult(T, weights, idx1, use_sg, prune_overflow)
+        args = (src, tgt, weights, m0, key)
+        # run the DGR branch only when it was selected; then fall back to
+        # the safeguard if its output is non-finite (a rank-deficient
+        # weighted covariance NaNs the Procrustes init — the reference
+        # catches that failure the same way,
+        # deep_global_registration.py:429-433 try/except -> safeguard).
+        # Two sequential lax.conds keep each branch program instantiated
+        # exactly once.
+        T_dgr = lax.cond(use_sg, lambda a: jnp.eye(4, dtype=jnp.float32),
+                         dgr_branch, args)
+        need_sg = use_sg | ~jnp.all(jnp.isfinite(T_dgr))
+        T = lax.cond(need_sg, sg_branch, lambda a: T_dgr, args)
+        return DGRResult(T, weights, idx1, need_sg, prune_overflow)
 
     def register(F0, F1, xyz0, xyz1, c0, c1, m0, m1, key):
         return _register(inlier_variables, F0, F1, xyz0, xyz1, c0, c1,

@@ -123,6 +123,48 @@ class TestDGRRegister:
         assert bool(ok), f"RE={float(re)} TE={float(te)}"
 
 
+class TestNonFiniteFallback:
+    def test_nan_dgr_branch_falls_back_to_safeguard(self, rng, monkeypatch):
+        # reference parity: deep_global_registration.py:429-433 catches a
+        # failed (rank-deficient) weighted Procrustes and runs the
+        # safeguard; here a non-finite DGR-branch transform must arm the
+        # safeguard instead of returning NaN with used_safeguard=False
+        import lidarreg.solvers.dgr as dgr_mod
+
+        n = 512
+        src, tgt_full, T, w = make_problem(rng, n=n, inlier_frac=0.6)
+        variables = INLIER_NET.init(
+            jax.random.PRNGKey(0),
+            SparseTensor(jnp.zeros((n, 6), jnp.int32), jnp.ones((n, 1)),
+                         jnp.ones((n,), bool), 1),
+            train=False,
+        )
+
+        def nan_global_registration(src_, tgt_, weights_, **kw):
+            return jnp.full((3, 3), jnp.nan), jnp.full((3,), jnp.nan)
+
+        monkeypatch.setattr(dgr_mod, "global_registration",
+                            nan_global_registration)
+        reg = dgr_mod.make_dgr_register(
+            INLIER_NET, variables,
+            DGRConfig(safeguard_iters=4096, refine_iters=2,
+                      clip_weight_thresh=0.0),  # DGR branch selected...
+        )
+        F0 = jnp.asarray(src @ T[:3, :3].T + T[:3, 3]
+                         + rng.normal(0, 0.05, (n, 3)).astype(np.float32))
+        F1 = jnp.asarray(tgt_full)
+        c0 = jnp.asarray(np.floor(src / 0.3).astype(np.int32))
+        c1 = jnp.asarray(np.floor(tgt_full / 0.3).astype(np.int32))
+        m = jnp.ones(n, bool)
+        res = reg(F0, F1, jnp.asarray(src), jnp.asarray(tgt_full), c0, c1,
+                  m, m, jax.random.PRNGKey(1))
+        # ...but its NaN output must arm the safeguard
+        assert bool(res.used_safeguard)
+        assert bool(jnp.all(jnp.isfinite(res.transform)))
+        ok, re, te = registration_success(res.transform, jnp.asarray(T))
+        assert bool(ok), f"RE={float(re)} TE={float(te)}"
+
+
 class TestDGRTrainer:
     def test_training_improves_inlier_bce(self, rng):
         n = 384

@@ -22,6 +22,7 @@ MXU matmul (sparse/conv.py docstring).
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -191,7 +192,11 @@ class ResUNetBN2C(nn.Module):
     # claim-round program for all four hash tables, instead of 3 + 4
     # serialized passes (~80 of the 146 ms forward on v5e is structure
     # build; BASELINE.md roofline). False = the round-2 serialized path.
-    fused_build: bool = True
+    # LIDARREG_FUSED_BUILD=0 (read at import) flips the default off — the
+    # chain scripts' escape hatch if the on-TPU fused/serial parity A/B
+    # (scripts/fused_ab.py) ever fails on a chip (two prior v5e scatter
+    # miscompiles; sparse/hashtable.py post-mortems).
+    fused_build: bool = os.environ.get("LIDARREG_FUSED_BUILD", "1") != "0"
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:

@@ -126,7 +126,8 @@ def main(argv=None):
             if name == "icp":
                 T = icp_point_to_point(x0, m0, x1, m1, T0)
             elif name == "bbr":
-                warped = x0 @ T0[:3, :3].T + T0[:3, 3]
+                warped = jnp.einsum("nj,ij->ni", x0, T0[:3, :3],
+                                    precision="highest") + T0[:3, 3]
                 T = concatenate(
                     bbr_f(warped, m0, x1, m1, args.bbr_iters), T0
                 )

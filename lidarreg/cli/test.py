@@ -162,8 +162,10 @@ def main(argv=None):
             st, xyz = prepare_sparse_input(jnp.asarray(pad), args.voxel_size,
                                            cap, jnp.int32(m))
             is_src = int(not np.allclose(T_align, np.eye(4)))
-            p = xyz @ jnp.asarray(
-                T_align[:3, :3].T.astype(np.float32)
+            p = jnp.einsum(
+                "nj,ji->ni", xyz,
+                jnp.asarray(T_align[:3, :3].T.astype(np.float32)),
+                precision="highest",
             ) + jnp.asarray(T_align[:3, 3].astype(np.float32))
             noise_key = jax.random.fold_in(jax.random.PRNGKey(0), is_src)
             f = p + jax.random.normal(noise_key, p.shape) * 0.1

@@ -352,9 +352,11 @@ def kabsch_svd(
     H = jnp.einsum("...ni,...n,...nj->...ij", Am, weights, Bm, precision="highest")
     U, _, Vt = jnp.linalg.svd(H)
     V = jnp.swapaxes(Vt, -1, -2)
-    det = jnp.linalg.det(V @ jnp.swapaxes(U, -1, -2))
+    det = jnp.linalg.det(
+        jnp.matmul(V, jnp.swapaxes(U, -1, -2), precision="highest"))
     D = jnp.zeros_like(H).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
     D = D.at[..., 2, 2].set(det)
-    R = V @ D @ jnp.swapaxes(U, -1, -2)
+    R = jnp.matmul(jnp.matmul(V, D, precision="highest"),
+                   jnp.swapaxes(U, -1, -2), precision="highest")
     t = centroid_B - jnp.einsum("...ij,...j->...i", R, centroid_A, precision="highest")
     return R, t

@@ -55,7 +55,8 @@ def _so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 def _edge_residual(Xi, Xj, Tij):
     """6-vector residual of one edge: log(T_ij^-1 X_i^-1 X_j)."""
-    E = inverse(Tij) @ inverse(Xi) @ Xj
+    E = jnp.linalg.multi_dot([inverse(Tij), inverse(Xi), Xj],
+                             precision="highest")
     return jnp.concatenate([_so3_log(E[:3, :3]), E[:3, 3]])
 
 
@@ -90,7 +91,9 @@ def optimize_pose_graph(
         def r_of_twists(tw):
             def apply_twist(Xk, t):
                 dR = euler_to_rotation(t[:3])  # small-angle
-                return integrate(dR @ Xk[:3, :3], dR @ Xk[:3, 3] + t[3:])
+                return integrate(
+                    jnp.matmul(dR, Xk[:3, :3], precision="highest"),
+                    jnp.matmul(dR, Xk[:3, 3], precision="highest") + t[3:])
             Xp = jax.vmap(apply_twist)(X, tw.reshape(n, 6))
             return residuals(Xp).reshape(-1)
 
@@ -110,7 +113,9 @@ def optimize_pose_graph(
 
         def apply_twist(Xk, t):
             dR = euler_to_rotation(t[:3])
-            return integrate(dR @ Xk[:3, :3], dR @ Xk[:3, 3] + t[3:])
+            return integrate(
+                jnp.matmul(dR, Xk[:3, :3], precision="highest"),
+                jnp.matmul(dR, Xk[:3, 3], precision="highest") + t[3:])
 
         X_new = jax.vmap(apply_twist)(X, delta.reshape(n, 6))
         # closed-form line-process update on loop edges

@@ -111,5 +111,5 @@ def remove_road(pts: jnp.ndarray, valid: jnp.ndarray,
     Returns the validity mask with ground points cleared.
     """
     n, d = estimate_ground_plane(pts, valid)
-    h = pts @ n + d
+    h = jnp.einsum("nj,j->n", pts, n, precision="highest") + d
     return valid & (h > height_thresh)

@@ -92,6 +92,6 @@ def icp_point_to_point(
         R, t = weighted_kabsch(warped[None], nn[None], w[None], method="jacobi")
         dT = integrate(R[0], t[0])
         good = jnp.sum(w) >= 3.0
-        return jnp.where(good, dT @ T, T)
+        return jnp.where(good, jnp.matmul(dT, T, precision="highest"), T)
 
     return lax.fori_loop(0, max_iter, body, init_T.astype(jnp.float32))

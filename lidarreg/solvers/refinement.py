@@ -199,7 +199,8 @@ def symmetric_icp(
         delta = -jnp.linalg.solve(A, b)
         omega, dt = delta[:3], delta[3:]
         dR = euler_to_rotation(omega)  # small-angle: euler ~ axis increments
-        T_new = integrate(dR @ R, dR @ t + dt)
+        T_new = integrate(jnp.matmul(dR, R, precision="highest"),
+                          jnp.matmul(dR, t, precision="highest") + dt)
         good = jnp.sum(w) >= 6.0
         return jnp.where(good, T_new, T)
 
@@ -214,8 +215,9 @@ def refine_all(src, src_valid, tgt, tgt_valid, coarse_T,
     from .icp import icp_point_to_point
 
     T_icp = icp_point_to_point(src, src_valid, tgt, tgt_valid, coarse_T)
-    warped = src @ coarse_T[:3, :3].T + coarse_T[:3, 3]
+    warped = jnp.einsum("nj,ij->ni", src, coarse_T[:3, :3],
+                        precision="highest") + coarse_T[:3, 3]
     T_bbr_res = bbr_f(warped, src_valid, tgt, tgt_valid, bbr_iters)
-    T_bbr = T_bbr_res @ coarse_T
+    T_bbr = jnp.matmul(T_bbr_res, coarse_T, precision="highest")
     T_sym = symmetric_icp(src, src_valid, tgt, tgt_valid, coarse_T)
     return {"ICP": T_icp, "BBR-F": T_bbr, "symICP": T_sym}

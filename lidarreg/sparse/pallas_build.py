@@ -59,14 +59,21 @@ def _fmix_s(h):
 
 
 def pack_coords(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """[V, 3] int32 in [-512, 511] + validity -> one int32 per point (<0 =
-    invalid; bit 31 stays clear for every in-range coord)."""
+    """[V, 3] int32 + validity -> one int32 per point (<0 = invalid; bit 31
+    stays clear for every in-range coord).
+
+    The 10-bit packing only represents coords in [-512, 511]; anything
+    outside (>~153 m from origin at 0.3 m voxels) is ENFORCED here by
+    folding the range check into validity — out-of-range points are
+    dropped like padding rather than silently aliased by the `& 1023`
+    wrap (voxelize coords are un-recentered floor(xyz/voxel))."""
+    in_range = jnp.all((coords >= -512) & (coords <= 511), axis=-1)
     p = (
         ((coords[:, 0] + 512) & 1023)
         | (((coords[:, 1] + 512) & 1023) << 10)
         | (((coords[:, 2] + 512) & 1023) << 20)
     )
-    return jnp.where(valid, p, jnp.int32(-1))
+    return jnp.where(valid & in_range, p, jnp.int32(-1))
 
 
 def _build_kernel(packed_ref, table_ref, slots_ref, count_ref, *,

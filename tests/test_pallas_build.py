@@ -132,9 +132,39 @@ def test_unet_structures_match_downsample_semantics():
         assert (rows == np.arange(len(vk))[vk]).all()
 
 
-def test_coord_range_contract():
+def test_capacity_shape_contract():
     with pytest.raises(AssertionError):
         build_table_pallas(
             jnp.zeros((100, 3), jnp.int32), jnp.ones((100,), bool), T=64,
             interpret=True,
-        )  # V not a multiple of 128
+        )  # V not a multiple of 1024 (scalar-stream block size)
+
+
+def test_coord_range_guard_drops_out_of_range():
+    # coords outside [-512, 511] can't be represented by the 10-bit packing;
+    # the guard must drop them like padding (slot -1, absent from the
+    # table) — NOT alias them onto (c & 1023) - 512.
+    rng = np.random.default_rng(4)
+    v = 1024
+    c = _coords(rng, v, lo=-400, hi=400)
+    c[0] = (600, 0, 0)        # aliases to (-424, 0, 0) if wrapped
+    c[1] = (-513, 10, 10)     # one step out on the low side
+    c[2] = (0, 0, 511)        # boundary: in range
+    c[3] = (0, -512, 0)       # boundary: in range
+    alias = np.array([(600 & 1023) - 512, 0, 0], np.int32)
+    c[4] = alias              # legitimate point AT the alias target
+    valid = np.ones((v,), bool)
+    tab, slots, _ = build_table_pallas(
+        jnp.asarray(c), jnp.asarray(valid), T=128, interpret=True
+    )
+    slots = np.asarray(slots)
+    assert slots[0] == -1 and slots[1] == -1          # dropped, not wrapped
+    assert slots[2] >= 0 and slots[3] >= 0            # boundaries stay in
+    # the alias target's slot belongs to the REAL point at that coord
+    rows = np.asarray(lookup(tab, jnp.asarray(alias[None])))
+    assert rows[0] == (slots[4] & _SLOTMASK)
+    # unet builder inherits the guard at every level
+    tables, levels, placed0 = build_unet_structures(
+        jnp.asarray(c), jnp.asarray(valid), 1, [v, v], interpret=True
+    )
+    assert not np.asarray(placed0)[0] and not np.asarray(placed0)[1]

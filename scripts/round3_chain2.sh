@@ -46,15 +46,15 @@ timeout 3600 python scripts/matchability_probe.py \
 
 # ---- 5. promote best-by-NN-inlier checkpoint ----------------------------- #
 if [ -f outputs/r3_fcgf_textured/model_best.msgpack ]; then
-  cp outputs/r3_fcgf_textured/model_best.msgpack weights/fcgf_textured_30ep.msgpack
+  cp outputs/r3_fcgf_textured/model_best.msgpack weights/fcgf_textured_20ep.msgpack
   cp outputs/r3_fcgf_textured/model_best.msgpack.config.json \
-     weights/fcgf_textured_30ep.msgpack.config.json 2>/dev/null || true
+     weights/fcgf_textured_20ep.msgpack.config.json 2>/dev/null || true
 fi
 
 # ---- 6. feature-quality eval: NN inlier + RANSAC recall over 12 pairs ---- #
 timeout 3600 python -m lidarreg.cli.test --dataset A --algo RANSAC --mode GPF \
   --iters 50000 --max_samples 12 --features fcgf \
-  --fcgf_weights_file weights/fcgf_textured_30ep.msgpack \
+  --fcgf_weights_file weights/fcgf_textured_20ep.msgpack \
   --outdir outputs/r3_fcgf_textured_eval 2>&1 | tail -25
 
 # ---- 7. NN-matmul precision ablation (recall + time per tier) ------------ #

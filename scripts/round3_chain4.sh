@@ -2,7 +2,7 @@
 # Round-3 chain v4 (fresh VM, TPU confirmed up at launch): the remaining
 # VERDICT r2 evidence, ordered so partial completion still pays.
 #   1. textured FCGF retrain (matchability-collapse fix; model_best picked
-#      by eval-mode NN inlier ratio, never loss) -> weights/fcgf_textured_30ep
+#      by eval-mode NN inlier ratio, never loss) -> weights/fcgf_textured_20ep
 #   2. feature-quality eval over 12 validation pairs (RANSAC-50k)
 #   3. gated composition: PointDSC/OANet/DGR re-trained over the trained
 #      FCGF descriptors (reference protocol, Experiments/train.py:23-146)
@@ -36,15 +36,15 @@ timeout 2700 python -m lidarreg.cli.train --model fcgf \
 
 best=outputs/r3_fcgf_textured/model_best.msgpack
 if [ -f "$best" ]; then
-  cp "$best" weights/fcgf_textured_30ep.msgpack
-  cp "${best}.config.json" weights/fcgf_textured_30ep.msgpack.config.json 2>/dev/null || true
+  cp "$best" weights/fcgf_textured_20ep.msgpack
+  cp "${best}.config.json" weights/fcgf_textured_20ep.msgpack.config.json 2>/dev/null || true
 fi
 
 # ---- 2. feature-quality eval -------------------------------------------- #
-if [ -f weights/fcgf_textured_30ep.msgpack ]; then
+if [ -f weights/fcgf_textured_20ep.msgpack ]; then
   timeout 2400 python -m lidarreg.cli.test --dataset A --algo RANSAC --mode GPF \
     --iters 50000 --max_samples 12 --features fcgf \
-    --fcgf_weights_file weights/fcgf_textured_30ep.msgpack \
+    --fcgf_weights_file weights/fcgf_textured_20ep.msgpack \
     --outdir outputs/r3_fcgf_textured_eval 2>&1 | tail -25
 fi
 
@@ -52,7 +52,7 @@ fi
 rec=$(grep -oE "recall: [0-9.]+" outputs/r3_fcgf_textured_eval/log.txt 2>/dev/null | head -1 | grep -oE "[0-9.]+")
 echo "textured eval recall: ${rec:-none}"
 if [ -n "$rec" ] && python -c "import sys; sys.exit(0 if float('$rec') >= 50 else 1)"; then
-  FCGF=weights/fcgf_textured_30ep.msgpack
+  FCGF=weights/fcgf_textured_20ep.msgpack
   for m in pointdsc oanet dgr; do
     timeout 3600 python -m lidarreg.cli.train --model $m \
       --features fcgf --fcgf_weights_file "$FCGF" \

@@ -11,7 +11,7 @@
 set -x
 cd /root/repo
 
-FCGF=${1:-weights/fcgf_textured_30ep.msgpack}
+FCGF=${1:-weights/fcgf_textured_20ep.msgpack}
 [ -f "$FCGF" ] || { echo "missing $FCGF"; exit 1; }
 
 # RANSAC over the trained features: the inlier-ratio anchor row

@@ -1,6 +1,6 @@
 #!/bin/bash
 # Round-3 composition v3: learned models over FCGF trained on TEXTURED
-# scenes (weights/fcgf_textured_30ep.msgpack, promoted by round3_chain2.sh
+# scenes (weights/fcgf_textured_20ep.msgpack, promoted by round3_chain2.sh
 # step 5 from the best-by-NN-inlier checkpoint).
 #   1. re-train PointDSC / OANet / DGR on those descriptors
 #      (reference protocol: Experiments/train.py:23-146 trains on
@@ -11,7 +11,7 @@
 set -x
 cd /root/repo
 
-FCGF=weights/fcgf_textured_30ep.msgpack
+FCGF=weights/fcgf_textured_20ep.msgpack
 [ -f "$FCGF" ] || exit 1
 
 for m in pointdsc oanet dgr; do

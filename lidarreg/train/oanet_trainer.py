@@ -37,7 +37,13 @@ class OANetTrainerConfig(NamedTuple):
     steps_per_epoch: int = 1000
     gamma: float = 0.99
     weight_classification: float = 1.0
-    weight_transformation: float = 1.0
+    # reference default: transformation loss is metric-only
+    # (Experiments/config.py:46 weight_transformation=0.0; trainer.py:127
+    # only adds it when >0). At low inlier ratios a nonzero weight diverges:
+    # random early weights -> garbage weighted-Kabsch transforms -> huge
+    # trans_loss gradients drown the BCE (seen at 9.7% fcgf inliers,
+    # outputs/r3_oanet_fcgf: trans_loss ~2400, reg_recall 0%).
+    weight_transformation: float = 0.0
     re_thresh_deg: float = 5.0
     te_thresh_cm: float = 60.0
 

@@ -76,6 +76,25 @@ def main():
     deadline.cancel()
     note(f"bench: device up ({jax.devices()[0].platform})")
 
+    # Tunnel-health probe: round-trip latency of a trivial jitted op. On a
+    # healthy tunnel the median is ~1-2 ms; a degraded tunnel (the cause of
+    # the BENCH_r03 vs BASELINE discrepancy — 7.7 vs 10.4 pairs/sec from the
+    # same code) shows 10-100x that. Recorded in the JSON so one bad run
+    # can't silently contradict the ledger.
+    def tunnel_rtt_ms():
+        tiny = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        jax.block_until_ready(tiny(x))  # compile
+        samples = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            jax.block_until_ready(tiny(x))
+            samples.append(time.perf_counter() - t0)
+        return 1000.0 * float(np.median(samples))
+
+    rtt_before = tunnel_rtt_ms()
+    note(f"bench: tunnel RTT median {rtt_before:.2f} ms")
+
     from lidarreg.core import registration_success
     from lidarreg.match import match_pair
     from lidarreg.ops import voxelize_points
@@ -134,13 +153,17 @@ def main():
 
     note("bench: timing solver path...")
     times = []
-    for trial in range(5):
+    for trial in range(7):
         t0 = time.perf_counter()
         res = register(F0, F1, xyz0, xyz1, va.valid, vb.valid,
                        jax.random.PRNGKey(trial))
         jax.block_until_ready(res.transform)
         times.append(time.perf_counter() - t0)
     pairs_per_sec = 1.0 / min(times)
+    solver_spread = (1000 * min(times), 1000 * float(np.median(times)),
+                     1000 * max(times))
+    note("bench: solver ms/pair min/med/max = "
+         "%.1f/%.1f/%.1f" % solver_spread)
 
     # ---- end-to-end WITH the real FCGF encoder in the timed path ----------
     # (the reference's "reg time" metric EXCLUDES feature extraction —
@@ -171,7 +194,7 @@ def main():
     # preference order = measured NN-inlier-ratio/recall ranking in
     # BASELINE.md, NOT training length (the 100-epoch runs collapse —
     # see the matchability-collapse section)
-    for name in ("fcgf_textured_30ep.msgpack",
+    for name in ("fcgf_textured_20ep.msgpack",
                  "fcgf_synthetic_25ep.msgpack",
                  "fcgf_distinct_100ep.msgpack",
                  "fcgf_synthetic_100ep.msgpack"):
@@ -212,7 +235,7 @@ def main():
          f"(RE={float(e2e_re):.3f} deg, TE={float(e2e_te)*100:.1f} cm)")
     note("bench: timing e2e path...")
     times_e2e, times_fwd = [], []
-    for trial in range(5):
+    for trial in range(7):
         t0 = time.perf_counter()
         F = fwd(params, st_pair)
         jax.block_until_ready(F.feats)
@@ -228,6 +251,10 @@ def main():
     solve_ms = 1000 * min(e - f for e, f in zip(times_e2e, times_fwd))
     note(f"bench: e2e split fwd={1000*min(times_fwd):.1f} ms, "
          f"solve={solve_ms:.1f} ms")
+    rtt_after = tunnel_rtt_ms()
+    tunnel_ok = max(rtt_before, rtt_after) < 10.0
+    note(f"bench: tunnel RTT after {rtt_after:.2f} ms "
+         f"({'healthy' if tunnel_ok else 'DEGRADED — timings suspect'})")
 
     print(
         json.dumps(
@@ -241,6 +268,11 @@ def main():
                     "fcgf_e2e_ms_per_pair": round(1000 * min(times_e2e), 1),
                     "fcgf_e2e_success": e2e_ok,
                     "fcgf_e2e_te_cm": round(float(e2e_te) * 100, 2),
+                    "solver_ms_min_med_max": [round(v, 1) for v in solver_spread],
+                    "e2e_ms_median": round(1000 * float(np.median(times_e2e)), 1),
+                    "fwd_ms_min": round(1000 * min(times_fwd), 1),
+                    "tunnel_rtt_ms": [round(rtt_before, 2), round(rtt_after, 2)],
+                    "tunnel_healthy": tunnel_ok,
                 },
             }
         )

@@ -40,10 +40,13 @@ one chunk, hard pairs still consume the full `num_hypotheses` budget.
 `confidence=0.0` restores the fixed-budget behavior. The `iters` CLI knob
 maps directly onto `num_hypotheses`.
 
-PROSAC deviation note: true PROSAC's n-th draw comes from a growth function
-over sorted qualities (gcransac PROSAC sampler); we use the linear schedule
-m_h = s + (n_keep - s) * h / K over quality-sorted correspondences, which
-preserves the "best matches first" property while staying branch-free.
+PROSAC (round 4): the true Chum-Matas growth function is the default —
+hypothesis t samples s-1 points from the top n(t)-1 quality-sorted
+correspondences plus candidate n(t) itself, with n(t) inverted from
+T_n = T_N * C(n,s)/C(N,s) in closed form per hypothesis (branch-free;
+`_prosac_pool_size`). T_N = the hypothesis budget. The round-1..3 linear
+schedule (m_t = s + (n_keep - s) * t / K) is kept as
+`prosac_growth="linear"` for the ablation recorded in BASELINE.md.
 """
 from __future__ import annotations
 
@@ -93,6 +96,14 @@ class RansacConfig(NamedTuple):
     # RANSAC exists for — measured 13% vs 40% recall at 5% inliers / 262k
     # hypotheses (scripts/reuse_ablation.py, BASELINE.md negative ablation).
     sample_reuse: bool = False
+    # PROSAC growth schedule: "chum_matas" inverts the true growth function
+    # T_n = T_N * C(n,s)/C(N,s) (Chum & Matas 2005, the schedule GC-RANSAC's
+    # ProsacSampler implements) per hypothesis in closed form — early
+    # hypotheses concentrate on a pool growing like N*(t/T_N)^(1/s), far more
+    # aggressively than "linear" (m_t = s + (N-s) t/T_N, the round-1..3
+    # schedule, kept for ablation). T_N = the total hypothesis budget, so the
+    # sampler converges to uniform RANSAC exactly when the budget runs out.
+    prosac_growth: str = "chum_matas"
     # Confidence-based early termination (Open3D RANSACConvergenceCriteria
     # semantics, FR.py:136 conf=0.9995): after each chunk, stop once the
     # number of drawn hypotheses exceeds log(1-conf)/log(1-e^s) for the best
@@ -115,6 +126,43 @@ class RansacResult(NamedTuple):
     inlier_count: jnp.ndarray   # [] int32 — inliers of best hypothesis (stage 2)
     inlier_mask: jnp.ndarray    # [N] bool — final inliers on the refit set
     num_kept: jnp.ndarray       # [] int32 — size of the filtered sampling set
+
+
+def _prosac_pool_size(t, n_keep, s: int, T_N: float):
+    """Chum-Matas pool size n(t): invert T_n = T_N * C(n,s)/C(N,s) for n.
+
+    t: [C] 1-based hypothesis indices (float); n_keep: [] int; returns [C]
+    float pool sizes in [s, N]. Continuous approximation of the integer
+    growth recurrence (T'_n = T_n + O(n) ceil accumulation — second-order
+    at these budgets; documented deviation). Since the sample size s is a
+    small static int, log C(n,s) ratios reduce to sums of s logs — exact,
+    no gammaln. 4 Newton steps from the asymptotic guess n ~ N (t/T_N)^(1/s)
+    converge to <0.5 over the whole schedule.
+    """
+    N = jnp.maximum(n_keep.astype(jnp.float32), float(s + 1))
+    # The ceil accumulation is NOT second-order early on: while the
+    # continuous increments T_{n+1}-T_n are < 1, every step still adds
+    # exactly 1, so T'_n ~ (n - s + 1) + T_n over the whole range (each
+    # step contributes max(increment, 1) ~ increment + 1). Invert
+    # t = (n - s + 1) + T_N * prod_i (n-i)/(N-i) by Newton; exact in the
+    # early linear regime (n = s + t - 1) and within ~1% once the
+    # combinatorial term dominates.
+    log_PN = sum(jnp.log(N - i) for i in range(s))
+
+    def T_and_grad(n):
+        logT = jnp.log(T_N) + sum(jnp.log(n - i) for i in range(s)) - log_PN
+        T = jnp.exp(logT)
+        return T, T * sum(1.0 / (n - i) for i in range(s))
+
+    # start from the max of the two regime asymptotes
+    ratio = jnp.clip(t / T_N, 1e-12, 1.0)
+    n_comb = (N - 0.5 * (s - 1)) * ratio ** (1.0 / s) + 0.5 * (s - 1)
+    n = jnp.clip(jnp.maximum(float(s) + t - 1.0, n_comb), float(s), N)
+    for _ in range(6):
+        T, dT = T_and_grad(n)
+        g = (n - s + 1.0) + T - t
+        n = jnp.clip(n - g / (1.0 + dT), float(s), N)
+    return n
 
 
 def _sorted_candidates(keep: jnp.ndarray, quality: jnp.ndarray | None):
@@ -267,7 +315,22 @@ def _score_chunk(
     else:
         words = jax.random.bits(k, (n_rows, C), jnp.uint32)
         u = (words >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-    if cfg.prosac:
+    det_last = None
+    if cfg.prosac and cfg.prosac_growth == "chum_matas":
+        # true PROSAC: hypothesis t draws s-1 points uniformly from the top
+        # n(t)-1 candidates plus candidate n(t) itself; once the pool covers
+        # the whole kept set the draw degrades to plain uniform RANSAC.
+        t_idx = chunk_id * C + jnp.arange(C, dtype=jnp.float32) + 1.0
+        n_t = _prosac_pool_size(t_idx, n_keep, s, float(total_hyps))
+        nk_f = jnp.maximum(n_keep, 1).astype(jnp.float32)
+        exhausted = n_t >= nk_f - 0.5
+        m = jnp.where(exhausted, nk_f, jnp.maximum(n_t - 1.0, 1.0))
+        det_last = jnp.where(
+            exhausted,
+            jnp.int32(-1),  # sentinel: keep the uniform draw
+            jnp.minimum(n_t.astype(jnp.int32), n_keep) - 1,
+        )
+    elif cfg.prosac:
         h = chunk_id * C + jnp.arange(C, dtype=jnp.float32)
         m = s + (n_keep.astype(jnp.float32) - s) * h / float(total_hyps)
         m = jnp.maximum(jnp.minimum(m, n_keep.astype(jnp.float32)), 1.0)
@@ -288,6 +351,11 @@ def _score_chunk(
         )                                                 # [6, s, C]
     else:
         draw = jnp.floor(u * m[None, :]).astype(jnp.int32)  # [s, C] in [0, m)
+        if det_last is not None:
+            # the deterministic n(t)-th candidate takes the last sample slot
+            draw = draw.at[s - 1].set(
+                jnp.where(det_last < 0, draw[s - 1], det_last)
+            )
         sample_idx = cand_idx[draw]                          # [s, C]
         g = pts6[:, sample_idx]  # ONE gather -> [6, s, C], minor dim C
 

@@ -1,0 +1,115 @@
+"""PROSAC growth-schedule ablation: Chum-Matas vs linear vs uniform.
+
+VERDICT r3 item 7: the repo shipped a linear pool-growth schedule as a
+documented deviation from GC-RANSAC's true PROSAC growth function
+(gcransac_python.cpp:107) without ever ablating it. This script measures
+registration success rate at LOW inlier ratios (the regime where the
+schedule concentrates early samples) across hypothesis budgets.
+
+Setup per trial: N candidate correspondences, a fraction r true inliers
+(GT-motion matched, sigma=5 cm noise), the rest uniform outliers. Quality
+scores are informative-but-noisy: inliers ~ N(0.7, 0.25), outliers
+~ N(0.3, 0.25) — roughly the separation an FCGF feature-distance ranking
+gives. Fixed budget (confidence=0), LO on.
+
+Run ON TPU: python scripts/prosac_ablation.py
+"""
+import itertools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lidarreg.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from lidarreg.core import registration_success
+from lidarreg.core.se3 import euler_to_rotation
+from lidarreg.solvers import RansacConfig, ransac_register
+
+N = 16384
+TRIALS = 24
+RATIOS = (0.015, 0.03, 0.05)
+BUDGETS = (65_536, 262_144, 1_048_576)
+SCHEDULES = ("chum_matas", "linear", "uniform")
+
+
+def make_problem(rng, r):
+    ang = rng.uniform(-0.1, 0.1, 3)
+    ang[2] = rng.uniform(-0.6, 0.6)
+    t = np.concatenate([rng.uniform(-10, 10, 2), rng.uniform(-0.5, 0.5, 1)])
+    R = np.asarray(euler_to_rotation(jnp.asarray(ang)))
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    src = rng.uniform(-60, 60, (N, 3)).astype(np.float32)
+    src[:, 2] = rng.uniform(-2, 4, N)
+    tgt = (src @ R.T + t + rng.normal(0, 0.05, (N, 3))).astype(np.float32)
+    n_in = int(N * r)
+    out = rng.permutation(N)[n_in:]
+    bad = src[rng.permutation(N)][: len(out)]
+    tgt[out] = (bad @ R.T + t + rng.uniform(-20, 20, (len(out), 3))).astype(
+        np.float32
+    )
+    is_in = np.ones(N, bool)
+    is_in[out] = False
+    quality = np.where(is_in, rng.normal(0.7, 0.25, N), rng.normal(0.3, 0.25, N))
+    return src, tgt, quality.astype(np.float32), T
+
+
+def main():
+    funcs = {}
+    for sched, budget in itertools.product(SCHEDULES, BUDGETS):
+        cfg = RansacConfig(
+            num_hypotheses=budget,
+            confidence=0.0,          # fixed budget: isolate the schedule
+            first_chunk=0,
+            prosac=sched != "uniform",
+            prosac_growth=sched if sched != "uniform" else "chum_matas",
+            stage1_samples=512,
+            top_k=512,
+            refit_iters=3,
+        )
+
+        @jax.jit
+        def reg(src, tgt, q, key, cfg=cfg):
+            return ransac_register(
+                src, tgt, jnp.ones(N, bool), key, cfg, quality=q
+            )
+
+        funcs[(sched, budget)] = reg
+
+    print(f"{'ratio':>6} {'budget':>9} | "
+          + " | ".join(f"{s:>11}" for s in SCHEDULES)
+          + "   (success rate, mean ms)")
+    rows = []
+    for r in RATIOS:
+        problems = [make_problem(np.random.default_rng(1000 + i), r)
+                    for i in range(TRIALS)]
+        for budget in BUDGETS:
+            cells = []
+            for sched in SCHEDULES:
+                reg = funcs[(sched, budget)]
+                succ, times = 0, []
+                for i, (src, tgt, q, T) in enumerate(problems):
+                    key = jax.random.PRNGKey(i)
+                    t0 = time.perf_counter()
+                    res = reg(jnp.asarray(src), jnp.asarray(tgt),
+                              jnp.asarray(q), key)
+                    jax.block_until_ready(res.transform)
+                    times.append(time.perf_counter() - t0)
+                    ok, _, _ = registration_success(
+                        res.transform, jnp.asarray(T))
+                    succ += bool(ok)
+                cells.append(
+                    f"{succ / TRIALS:5.0%} {1000 * np.median(times):5.0f}ms")
+            print(f"{r:>6} {budget:>9} | " + " | ".join(
+                f"{c:>11}" for c in cells), flush=True)
+            rows.append((r, budget, cells))
+
+
+if __name__ == "__main__":
+    main()

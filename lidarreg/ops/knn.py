@@ -70,6 +70,8 @@ def find_nn(
     (ops.pallas_knn) — bit-identical results, no [N0, N1] HBM block
     materialization; "jnp" is the reference path and the CPU default.
     """
+    if backend == "pallas" and precision == "high":
+        backend = "jnp"  # mosaic lowers DEFAULT/HIGHEST only, not 3-pass HIGH
     if backend == "pallas":
         from .pallas_knn import knn_top2_pallas
 
@@ -128,6 +130,8 @@ def find_nn_bidirectional(
         import jax
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas" and precision == "high":
+        backend = "jnp"  # mosaic lowers DEFAULT/HIGHEST only, not 3-pass HIGH
     if backend == "pallas":
         from .pallas_knn import knn_bidir_pallas
 

@@ -73,13 +73,23 @@ def make_fr_register(cfg: FRConfig):
         confidence=cfg.confidence,
     )
 
+    # TWO dispatches, not one fused program: measured on v5e, the fused
+    # match+solve jit runs 107 ms amortized vs 69 ms for the same work as
+    # two back-to-back programs — XLA schedules the pallas kNN kernel +
+    # the RANSAC while_loop badly when they share one program (+25 ms on
+    # the kNN, +13 ms on the loop; BASELINE.md round-4 protocol section).
+    # Structure parity: the reference also runs matching and RANSAC as
+    # separate steps (matching.py then FR.py's loop).
     @jax.jit
-    def register(F0, F1, xyz0, xyz1, m0, m1, key):
-        c = match_pair(
+    def match_stage(F0, F1, xyz0, m0, m1):
+        return match_pair(
             F0, F1, xyz0, mask0=m0, mask1=m1, mode=cfg.mode,
             grid_wid=cfg.grid_wid, gpf_factor=cfg.gpf_factor,
             precision=cfg.match_precision,
         )
+
+    @jax.jit
+    def solve_stage(c, xyz0, xyz1, key):
         tgt = xyz1[c.idx1]
         res = ransac_register(
             xyz0, tgt, c.keep, key, rcfg,
@@ -94,6 +104,10 @@ def make_fr_register(cfg: FRConfig):
             inlier_mask=res.inlier_mask,
             num_kept=res.num_kept,
         )
+
+    def register(F0, F1, xyz0, xyz1, m0, m1, key):
+        c = match_stage(F0, F1, xyz0, m0, m1)
+        return solve_stage(c, xyz0, xyz1, key)
 
     if not cfg.graph_cut_lo:
         return register

@@ -64,7 +64,12 @@ def prepare_sparse_input(cloud: jnp.ndarray, voxel_size: float, capacity: int,
     return st, xyz
 
 
-_PAIR_OFFSET = jnp.int32(1 << 17)   # voxel units; >> any kernel radius
+# Cloud-B separation along x, in voxel units. Must be (a) far beyond any
+# kernel radius + both clouds' x-extents so the clouds never share or
+# neighbor a voxel, and (b) small enough that B's coords stay inside the
+# pallas build's 12-bit x packing (sparse/pallas_build.py: x < 2048).
+# 1024 leaves ±300-voxel (±90 m at 0.3 m) extents a 400-voxel safety gap.
+_PAIR_OFFSET = jnp.int32(1 << 10)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -74,11 +79,12 @@ def prepare_pair_sparse_input(cloud_a: jnp.ndarray, cloud_b: jnp.ndarray,
                               n_b: jnp.ndarray | None = None):
     """Voxelize BOTH clouds of a pair into ONE batched SparseTensor.
 
-    Cloud B's voxel coordinates are offset by +2^17 along x — far beyond
+    Cloud B's voxel coordinates are offset by +1024 along x — far beyond
     any kernel radius — so a single FCGF forward processes both clouds with
     zero cross-talk while amortizing every table build, kernel map, gather
     and matmul over 2x rows (ME's batched_coordinates achieves the same
-    with an explicit batch column; a spatial offset keeps dim=3).
+    with an explicit batch column; a spatial offset keeps dim=3 and fits
+    the pallas build's packed-coordinate range).
 
     Returns (SparseTensor [2*capacity], xyz_a, xyz_b [capacity, 3]).
     """

@@ -18,9 +18,13 @@ cannot do). The emitted table is transposed once in XLA to the lane-major
 32-lane table is just `lookup` with LANES=32, same single-probe + bit-30
 overflow-flag contract.
 
-Contract: D=3, coords int32 in [-512, 511] (10-bit packed scalar stream;
-LiDAR voxel grids at 0.3 m span ~±500 voxels), capacities multiples of 128.
-The claim-round path stays the fallback for 6-D DGR coords and CPU.
+Contract: D=3, coords int32 in x ∈ [-2048, 2047], y ∈ [-512, 511],
+z ∈ [-128, 127] (asymmetric 12/10/8-bit packed scalar stream — LiDAR voxel
+grids at 0.3 m span ~±500 voxels in x/y and ~±30 in z; x is widest so the
+pair-batched layout's +1024-voxel cloud-B offset fits), capacities
+multiples of 128. Out-of-range coords are dropped like padding
+(pack_coords folds the range check into validity). The claim-round path
+stays the fallback for 6-D DGR coords and CPU.
 
 Cited reference scope: MinkowskiEngine coordinate-map insertion
 (`Experiments/misc/fcgf.py:229-798` consumes it; ME 0.5 C++ kernel maps).
@@ -58,20 +62,32 @@ def _fmix_s(h):
     return h
 
 
+_XBITS, _YBITS, _ZBITS = 12, 10, 8  # 30 bits total; bit 31 stays clear
+_XR = 1 << (_XBITS - 1)   # x in [-2048, 2047] (+-614 m at 0.3 m voxels):
+#                           wide so the pair-batched layout (cloud B offset
+#                           +1024 voxels along x, data/pipeline.py) fits
+_YR = 1 << (_YBITS - 1)   # y in [-512, 511]   (+-153 m)
+_ZR = 1 << (_ZBITS - 1)   # z in [-128, 127]   (+-38 m — LiDAR height span)
+
+
 def pack_coords(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """[V, 3] int32 + validity -> one int32 per point (<0 = invalid; bit 31
     stays clear for every in-range coord).
 
-    The 10-bit packing only represents coords in [-512, 511]; anything
-    outside (>~153 m from origin at 0.3 m voxels) is ENFORCED here by
-    folding the range check into validity — out-of-range points are
-    dropped like padding rather than silently aliased by the `& 1023`
-    wrap (voxelize coords are un-recentered floor(xyz/voxel))."""
-    in_range = jnp.all((coords >= -512) & (coords <= 511), axis=-1)
+    Asymmetric 12/10/8-bit packing (x/y/z; ranges above — ground-vehicle
+    LiDAR spans far more range in x/y than height). Anything outside is
+    ENFORCED here by folding the range check into validity — out-of-range
+    points are dropped like padding rather than silently aliased by the
+    masked wrap (voxelize coords are un-recentered floor(xyz/voxel))."""
+    in_range = (
+        (coords[:, 0] >= -_XR) & (coords[:, 0] < _XR)
+        & (coords[:, 1] >= -_YR) & (coords[:, 1] < _YR)
+        & (coords[:, 2] >= -_ZR) & (coords[:, 2] < _ZR)
+    )
     p = (
-        ((coords[:, 0] + 512) & 1023)
-        | (((coords[:, 1] + 512) & 1023) << 10)
-        | (((coords[:, 2] + 512) & 1023) << 20)
+        ((coords[:, 0] + _XR) & (2 * _XR - 1))
+        | (((coords[:, 1] + _YR) & (2 * _YR - 1)) << _XBITS)
+        | (((coords[:, 2] + _ZR) & (2 * _ZR - 1)) << (_XBITS + _YBITS))
     )
     return jnp.where(valid & in_range, p, jnp.int32(-1))
 
@@ -107,9 +123,9 @@ def _build_kernel(packed_ref, table_ref, slots_ref, count_ref, *,
 
     def body(j, slotvec):
         p = packed_ref[i * 1024 + j]
-        x = (p & 1023) - 512
-        y = ((p >> 10) & 1023) - 512
-        z = ((p >> 20) & 1023) - 512
+        x = (p & (2 * _XR - 1)) - _XR
+        y = ((p >> _XBITS) & (2 * _YR - 1)) - _YR
+        z = ((p >> (_XBITS + _YBITS)) & (2 * _ZR - 1)) - _ZR
         h1 = _fmix_s(
             x * jnp.int32(_P1[0]) ^ y * jnp.int32(_P1[1])
             ^ z * jnp.int32(_P1[2])

@@ -20,7 +20,10 @@ from lidarreg.sparse.tensor import downsample_coords
 
 
 def _coords(rng, n, lo=-500, hi=500):
-    return rng.integers(lo, hi, (n, 3)).astype(np.int32)
+    c = rng.integers(lo, hi, (n, 3)).astype(np.int32)
+    # z obeys the narrower 8-bit packing range (LiDAR height span)
+    c[:, 2] = np.clip(c[:, 2], -120, 120)
+    return c
 
 
 def test_count_mode_lookup_roundtrip():
@@ -141,30 +144,33 @@ def test_capacity_shape_contract():
 
 
 def test_coord_range_guard_drops_out_of_range():
-    # coords outside [-512, 511] can't be represented by the 10-bit packing;
-    # the guard must drop them like padding (slot -1, absent from the
-    # table) — NOT alias them onto (c & 1023) - 512.
+    # coords outside the asymmetric 12/10/8-bit packing ranges
+    # (x +-2048, y +-512, z +-128) can't be represented; the guard must
+    # drop them like padding (slot -1, absent from the table) — NOT alias
+    # them onto the masked wrap.
     rng = np.random.default_rng(4)
     v = 1024
     c = _coords(rng, v, lo=-400, hi=400)
-    c[0] = (600, 0, 0)        # aliases to (-424, 0, 0) if wrapped
-    c[1] = (-513, 10, 10)     # one step out on the low side
-    c[2] = (0, 0, 511)        # boundary: in range
-    c[3] = (0, -512, 0)       # boundary: in range
-    alias = np.array([(600 & 1023) - 512, 0, 0], np.int32)
-    c[4] = alias              # legitimate point AT the alias target
+    c[0] = (2500, 0, 0)       # x out (would wrap to -1595)
+    c[1] = (0, -513, 10)      # y one step out on the low side
+    c[2] = (0, 10, 200)       # z out (would wrap to -56)
+    c[3] = (2047, 511, 127)   # boundary: in range
+    c[4] = (-2048, -512, -128)  # boundary: in range
+    c[5] = (0, 600, 10)       # y out; wraps to (0, -424, 10) if unguarded
+    alias = np.array([0, ((600 + 512) & 1023) - 512, 10], np.int32)
+    c[6] = alias              # legitimate point AT c[5]'s alias target
     valid = np.ones((v,), bool)
     tab, slots, _ = build_table_pallas(
         jnp.asarray(c), jnp.asarray(valid), T=128, interpret=True
     )
     slots = np.asarray(slots)
-    assert slots[0] == -1 and slots[1] == -1          # dropped, not wrapped
-    assert slots[2] >= 0 and slots[3] >= 0            # boundaries stay in
+    assert (slots[[0, 1, 2, 5]] == -1).all()          # dropped, not wrapped
+    assert slots[3] >= 0 and slots[4] >= 0            # boundaries stay in
     # the alias target's slot belongs to the REAL point at that coord
     rows = np.asarray(lookup(tab, jnp.asarray(alias[None])))
-    assert rows[0] == (slots[4] & _SLOTMASK)
+    assert rows[0] == (slots[6] & _SLOTMASK)
     # unet builder inherits the guard at every level
     tables, levels, placed0 = build_unet_structures(
         jnp.asarray(c), jnp.asarray(valid), 1, [v, v], interpret=True
     )
-    assert not np.asarray(placed0)[0] and not np.asarray(placed0)[1]
+    assert not np.asarray(placed0)[[0, 1, 2, 5]].any()

@@ -190,13 +190,26 @@ class ResUNetBN2C(nn.Module):
     # Fuse the per-level structure build: ONE batched sort for all three
     # downsample levels (sparse/tensor.downsample_pyramid) and ONE vmapped
     # claim-round program for all four hash tables, instead of 3 + 4
-    # serialized passes (~80 of the 146 ms forward on v5e is structure
-    # build; BASELINE.md roofline). False = the round-2 serialized path.
-    # LIDARREG_FUSED_BUILD=0 (read at import) flips the default off — the
-    # chain scripts' escape hatch if the on-TPU fused/serial parity A/B
-    # (scripts/fused_ab.py) ever fails on a chip (two prior v5e scatter
-    # miscompiles; sparse/hashtable.py post-mortems).
-    fused_build: bool = os.environ.get("LIDARREG_FUSED_BUILD", "1") != "0"
+    # serialized passes. DEFAULT OFF (round 4): the fusion is neutral at
+    # 32k voxels (141 vs 140 ms) but 1.7x SLOWER at the pair-batched 64k
+    # (406 vs 240 ms, scripts/forward_build_ab.py) — the shared LEVEL-0
+    # table sizing makes every coarse-level claim-round scatter 4-16x
+    # bigger than its key count needs, and the cost only bites once tables
+    # outgrow ~1M rows. LIDARREG_FUSED_BUILD=1 re-enables.
+    fused_build: bool = os.environ.get("LIDARREG_FUSED_BUILD", "0") == "1"
+    # Single-pass VMEM-resident pallas build (sparse/pallas_build.py): the
+    # whole table lives in VMEM and points insert from a scalar-prefetch
+    # stream — no claim-round scatters. DEFAULT OFF (round 4, measured
+    # negative result): the kernel's per-point sequential insertion loop
+    # loses to XLA's parallel claim-round scatters at product sizes
+    # (forward 162 vs 140 ms @32k, 305 vs 240 ms @64k —
+    # scripts/forward_build_ab.py; parity max|delta| 2e-3 on 0.67-scale
+    # features). A competitive VMEM build needs lane-parallel insertion
+    # with conflict resolution, not a scalar stream. Effective only when
+    # dim == 3, capacity % 1024 == 0, backend is TPU; coords must fit the
+    # 12/10/8-bit packing (pack_coords drops out-of-range like padding).
+    # LIDARREG_PALLAS_BUILD=1 re-enables for A/Bs.
+    pallas_build: bool = os.environ.get("LIDARREG_PALLAS_BUILD", "0") == "1"
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
@@ -212,9 +225,27 @@ class ResUNetBN2C(nn.Module):
 
         # ---- coordinate sets, tables, kernel maps (once per level) ------ #
         c1, v1 = x.coords, x.valid
-        if self.fused_build:
-            import jax
+        import jax
 
+        use_pallas = (
+            self.pallas_build
+            and self.dim == 3
+            and cap % 1024 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from ..sparse.pallas_build import build_unet_structures
+
+            ptabs, plevels, _ = build_unet_structures(c1, v1, s, caps)
+            t1, t2, t4, t8 = ptabs
+            (c2, v2), (c4, v4), (c8, v8) = plevels
+            # same stacked-table shape the vmapped XLA build produces, so
+            # the lookup_grouped probe below is shared verbatim
+            tabs = HashTable(
+                jnp.stack([t.table for t in ptabs]),
+                jnp.stack([jnp.asarray(t.mask) for t in ptabs]),
+            )
+        elif self.fused_build:
             (c2, v2), (c4, v4), (c8, v8) = downsample_pyramid(
                 c1, v1, s, caps[1:]
             )
@@ -266,7 +297,7 @@ class ResUNetBN2C(nn.Module):
         offs2 = kernel_offsets(3, 2 * s, self.dim)
         offs4 = kernel_offsets(3, 4 * s, self.dim)
         offs8 = kernel_offsets(3, 8 * s, self.dim)
-        if self.fused_build:
+        if use_pallas or self.fused_build:
             # EVERY hash probe of the forward — four symmetric-stencil
             # stride-1 maps + three fine-side down maps — in ONE
             # lookup_grouped call: one gather program, one retry pool

@@ -1,0 +1,85 @@
+"""Full FCGF forward A/B across structure-build modes, on the real TPU.
+
+Times the COMPLETE ResUNetBN2C forward (not just the build) with the three
+build paths — serialized claim rounds (round 2), fused XLA (round 3), and
+the single-pass VMEM pallas build (round 4, sparse/pallas_build.py) — at
+single-cloud 32k and the pair-batched 64k the e2e benchmark runs. Also
+checks cross-mode parity of the output features: coarse-level coordinate
+ORDER differs between builds (lexicographic vs first-occurrence), so
+feature parity is checked per-voxel (max |delta| over valid rows), not
+bit-exactness of intermediate structures.
+
+The VERDICT r3 #4 gate: pallas mode ships as default only if this program
+shows parity (max |delta| < 1e-3 on unit-norm-ish features) AND a forward
+speedup. LIDARREG_PALLAS_BUILD=0 is the escape hatch.
+
+Usage: python scripts/forward_build_ab.py [caps ...]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lidarreg.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+from lidarreg.models.fcgf import ResUNetBN2C
+from lidarreg.ops import voxelize_points
+from lidarreg.sparse.tensor import SparseTensor
+
+
+def timeit(fn, *args, n=5):
+    out = fn(*args)
+    jax.block_until_ready(out.feats)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out.feats)
+        ts.append(time.perf_counter() - t0)
+    return 1000 * min(ts), out
+
+
+def main():
+    caps = [int(a) for a in sys.argv[1:]] or [32768, 65536]
+    rng = np.random.default_rng(0)
+    for cap in caps:
+        pts = rng.uniform(-70, 70, (cap * 2, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 6, cap * 2)
+        v = voxelize_points(jnp.asarray(pts), 0.3, cap)
+        feats = jnp.ones((cap, 1), jnp.float32)
+        st = SparseTensor(coords=v.coords, feats=feats, valid=v.valid,
+                          stride=1)
+
+        outs, times = {}, {}
+        for mode, kw in (
+            ("serial", dict(fused_build=False, pallas_build=False)),
+            ("fused", dict(fused_build=True, pallas_build=False)),
+            ("pallas", dict(fused_build=True, pallas_build=True)),
+        ):
+            model = ResUNetBN2C(**kw)
+            params = model.init(jax.random.PRNGKey(0), st, train=False)
+            fwd = jax.jit(lambda p, s, m=model: m.apply(p, s, train=False))
+            ms, out = timeit(fwd, params, st)
+            outs[mode], times[mode] = out, ms
+            print(f"cap={cap} {mode:>6}: {ms:7.1f} ms", flush=True)
+
+        f_ref = np.asarray(outs["fused"].feats)
+        vmask = np.asarray(outs["fused"].valid)
+        for mode in ("serial", "pallas"):
+            f = np.asarray(outs[mode].feats)
+            d = np.abs(f - f_ref)[vmask].max() if vmask.any() else 0.0
+            scale = np.abs(f_ref[vmask]).max()
+            print(f"cap={cap} {mode} vs fused: max|delta|={d:.2e} "
+                  f"(scale {scale:.2e})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

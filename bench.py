@@ -96,9 +96,8 @@ def main():
     note(f"bench: tunnel RTT median {rtt_before:.2f} ms")
 
     from lidarreg.core import registration_success
-    from lidarreg.match import match_pair
     from lidarreg.ops import voxelize_points
-    from lidarreg.solvers import RansacConfig, ransac_register
+    from lidarreg.solvers import RansacConfig
 
     rng = np.random.default_rng(51)
     cloud_a, cloud_b, T_gt = build_pair(rng)
@@ -134,14 +133,20 @@ def main():
         refit_iters=3,
     )
 
-    @jax.jit
-    def register(F0, F1, xyz0, xyz1, m0, m1, key):
-        c = match_pair(F0, F1, xyz0, mask0=m0, mask1=m1, mode="GPF")
-        res = ransac_register(
-            xyz0, xyz1[c.idx1], c.keep, key, cfg,
-            quality=c.quality, refit_mask=c.valid,
-        )
-        return res
+    # the PRODUCT registration driver (two dispatches — match program, solve
+    # program; one fused jit schedules 38 ms/pair worse on v5e, BASELINE.md
+    # round-4 protocol section)
+    from lidarreg.bench import FRConfig, make_fr_register
+
+    register = make_fr_register(FRConfig(
+        mode="GPF",
+        iters=cfg.num_hypotheses,
+        voxel_size=VOX,
+        stage1_samples=cfg.stage1_samples,
+        top_k=cfg.top_k,
+        refit_iters=cfg.refit_iters,
+        chunk_size=cfg.chunk_size,
+    ))
 
     note("bench: compiling solver path...")
     # compile + correctness gate
@@ -164,6 +169,16 @@ def main():
                      1000 * max(times))
     note("bench: solver ms/pair min/med/max = "
          "%.1f/%.1f/%.1f" % solver_spread)
+    # streaming throughput: 10 pairs in flight, block once. Amortizes the
+    # host->tunnel dispatch latency (~20-30 ms/call through the tunneled
+    # chip, 0 on a co-located host) — the production batch protocol.
+    t0 = time.perf_counter()
+    outs = [register(F0, F1, xyz0, xyz1, va.valid, vb.valid,
+                     jax.random.PRNGKey(100 + i)) for i in range(10)]
+    jax.block_until_ready([o.transform for o in outs])
+    stream_pps = 10.0 / (time.perf_counter() - t0)
+    note(f"bench: solver streaming {stream_pps:.2f} pairs/sec "
+         f"({1000.0 / stream_pps:.1f} ms/pair amortized)")
 
     # ---- end-to-end WITH the real FCGF encoder in the timed path ----------
     # (the reference's "reg time" metric EXCLUDES feature extraction —
@@ -194,7 +209,8 @@ def main():
     # preference order = measured NN-inlier-ratio/recall ranking in
     # BASELINE.md, NOT training length (the 100-epoch runs collapse —
     # see the matchability-collapse section)
-    for name in ("fcgf_textured_20ep.msgpack",
+    for name in ("fcgf_textured_50ep.msgpack",
+                 "fcgf_textured_20ep.msgpack",
                  "fcgf_synthetic_25ep.msgpack",
                  "fcgf_distinct_100ep.msgpack",
                  "fcgf_synthetic_100ep.msgpack"):
@@ -219,20 +235,38 @@ def main():
     # the solve stage IS the already-compiled `register` program (identical
     # HLO -> persistent-cache hit; a re-ordered duplicate would recompile a
     # multi-minute program on a cold cache)
+    # Gate protocol: the reference reports ALGO and ALGO+ICP rows, with
+    # ICP time in a SEPARATE column (test.py:68,80-84). The gate evaluates
+    # the +ICP transform (the harness's +ICP row); the timed e2e path is
+    # fwd + match/solve only, matching the reference's reg-time scope, and
+    # the ICP time is reported separately below.
+    from lidarreg.solvers.icp import icp_point_to_point
+
     def register_e2e(key):
         F = fwd(params, st_pair)
-        return register(F.feats[:CAP], F.feats[CAP:], xyz0, xyz1,
-                        F.valid[:CAP], F.valid[CAP:], key)
+        return F, register(F.feats[:CAP], F.feats[CAP:], xyz0, xyz1,
+                           F.valid[:CAP], F.valid[CAP:], key)
 
     note("bench: compiling e2e (FCGF) path...")
-    r0 = register_e2e(jax.random.PRNGKey(0))
+    F0e, r0 = register_e2e(jax.random.PRNGKey(0))
     jax.block_until_ready(r0.transform)
-    e2e_ok, e2e_re, e2e_te = registration_success(
+    t_icp0 = time.perf_counter()
+    T_icp0 = icp_point_to_point(
+        xyz0, F0e.valid[:CAP], xyz1, F0e.valid[CAP:], r0.transform, 0.6, 10
+    )
+    jax.block_until_ready(T_icp0)
+    icp_ms = 1000 * (time.perf_counter() - t_icp0)
+    raw_ok, raw_re, raw_te = registration_success(
         r0.transform, jnp.asarray(T_gt)
+    )
+    e2e_ok, e2e_re, e2e_te = registration_success(
+        T_icp0, jnp.asarray(T_gt)
     )
     e2e_ok = bool(e2e_ok)
     note(f"bench: e2e gate pair success={e2e_ok} "
-         f"(RE={float(e2e_re):.3f} deg, TE={float(e2e_te)*100:.1f} cm)")
+         f"(+ICP RE={float(e2e_re):.3f} deg, TE={float(e2e_te)*100:.1f} cm; "
+         f"raw RE={float(raw_re):.3f}, TE={float(raw_te)*100:.1f} cm; "
+         f"ICP {icp_ms:.0f} ms, first call)")
     note("bench: timing e2e path...")
     times_e2e, times_fwd = [], []
     for trial in range(7):
@@ -268,7 +302,9 @@ def main():
                     "fcgf_e2e_ms_per_pair": round(1000 * min(times_e2e), 1),
                     "fcgf_e2e_success": e2e_ok,
                     "fcgf_e2e_te_cm": round(float(e2e_te) * 100, 2),
+                    "fcgf_e2e_te_raw_cm": round(float(raw_te) * 100, 2),
                     "solver_ms_min_med_max": [round(v, 1) for v in solver_spread],
+                    "solver_pairs_per_sec_streaming": round(stream_pps, 3),
                     "e2e_ms_median": round(1000 * float(np.median(times_e2e)), 1),
                     "fwd_ms_min": round(1000 * min(times_fwd), 1),
                     "tunnel_rtt_ms": [round(rtt_before, 2), round(rtt_after, 2)],

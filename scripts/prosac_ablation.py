@@ -15,9 +15,13 @@ gives. Fixed budget (confidence=0), LO on.
 Run ON TPU: python scripts/prosac_ablation.py
 """
 import itertools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

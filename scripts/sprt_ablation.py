@@ -14,9 +14,13 @@ screen sizes, across budgets.
 Run ON TPU: python scripts/sprt_ablation.py
 """
 import itertools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

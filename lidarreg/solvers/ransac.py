@@ -145,8 +145,11 @@ def _prosac_pool_size(t, n_keep, s: int, T_N: float):
     # exactly 1, so T'_n ~ (n - s + 1) + T_n over the whole range (each
     # step contributes max(increment, 1) ~ increment + 1). Invert
     # t = (n - s + 1) + T_N * prod_i (n-i)/(N-i) by Newton; exact in the
-    # early linear regime (n = s + t - 1) and within ~1% once the
-    # combinatorial term dominates.
+    # early linear regime (n = s + t - 1) and asymptotically at large t;
+    # in the crossover between the two regimes the pool runs up to ~16%
+    # SMALLER than the exact integer recurrence (slightly more aggressive
+    # early concentration — tests/test_ransac.py TestProsacGrowth pins the
+    # envelope; operationally indistinguishable per the BASELINE ablation).
     log_PN = sum(jnp.log(N - i) for i in range(s))
 
     def T_and_grad(n):

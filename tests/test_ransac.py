@@ -272,3 +272,74 @@ class TestDegenerateInputs:
             jnp.ones(512, bool), k, CFG_FAST))(jax.random.PRNGKey(3))
         Tm = np.asarray(res.transform)
         np.testing.assert_allclose(Tm, np.eye(4), atol=1e-3)
+
+
+class TestProsacGrowth:
+    """Pin _prosac_pool_size against the exact integer Chum-Matas recurrence.
+
+    Reference schedule (Chum & Matas 2005, the one GC-RANSAC's ProsacSampler
+    implements — gcransac_python.cpp:107): T_n = T_N * C(n,s)/C(N,s) with the
+    ceil accumulation T'_{n+1} = T'_n + ceil(T_{n+1} - T_n), T'_s = 1; the
+    pool for hypothesis t is the smallest n with T'_n >= t.
+    """
+
+    @staticmethod
+    def _exact_pool(N, s, T_N, ts):
+        import math
+
+        T = T_N * math.comb(s, s) / math.comb(N, s)
+        Tp, n = 1.0, s
+        out = {}
+        for t in sorted(ts):
+            while Tp < t and n < N:
+                T_next = T * (n + 1) / (n + 1 - s)
+                Tp += math.ceil(T_next - T)
+                T = T_next
+                n += 1
+            out[t] = n
+        return np.array([out[t] for t in ts], np.float32)
+
+    def test_matches_integer_recurrence(self):
+        from lidarreg.solvers.ransac import _prosac_pool_size
+
+        s = 4
+        for N, T_N in ((1000, 10_000), (5000, 65_536), (800, 1_000_000)):
+            ts = np.unique(
+                np.round(np.geomspace(1, T_N, 40)).astype(np.int64)
+            )
+            exact = self._exact_pool(N, s, float(T_N), list(ts))
+            cont = np.asarray(
+                _prosac_pool_size(
+                    jnp.asarray(ts, jnp.float32),
+                    jnp.asarray(N, jnp.int32),
+                    s,
+                    float(T_N),
+                )
+            )
+            # early linear regime is exact and the tail converges; the
+            # regime crossover runs up to ~16% small (documented contract —
+            # slightly more aggressive early concentration)
+            err = np.abs(cont - exact)
+            assert err[-1] <= max(3.0, 0.05 * exact[-1])
+            assert np.all(err <= np.maximum(3.0, 0.20 * exact)), (
+                N,
+                T_N,
+                ts[err > np.maximum(3.0, 0.05 * exact)],
+                cont[err > np.maximum(3.0, 0.05 * exact)],
+                exact[err > np.maximum(3.0, 0.05 * exact)],
+            )
+
+    def test_monotone_and_bounded(self):
+        from lidarreg.solvers.ransac import _prosac_pool_size
+
+        s, N, T_N = 4, 2048, 262_144
+        ts = jnp.arange(1, T_N + 1, 997, dtype=jnp.float32)
+        n = np.asarray(
+            _prosac_pool_size(ts, jnp.asarray(N, jnp.int32), s, float(T_N))
+        )
+        assert np.all(np.diff(n) >= -1e-3)
+        assert np.all(n >= s) and np.all(n <= N)
+        # first hypothesis draws from (near) the minimal pool; the last
+        # from (near) the full pool — budget exhaustion = uniform RANSAC
+        assert n[0] <= s + 1.5
+        assert n[-1] >= 0.95 * N

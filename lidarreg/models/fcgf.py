@@ -39,7 +39,12 @@ from ..sparse.conv import (
     stride1_queries,
     table_for,
 )
-from ..sparse.hashtable import HashTable, build_table, lookup_grouped
+from ..sparse.hashtable import (
+    HashTable,
+    build_table,
+    build_table_dedup,
+    lookup_grouped,
+)
 from ..sparse.tensor import (
     SparseTensor,
     downsample_coords,
@@ -210,6 +215,20 @@ class ResUNetBN2C(nn.Module):
     # 12/10/8-bit packing (pack_coords drops out-of-range like padding).
     # LIDARREG_PALLAS_BUILD=1 re-enables for A/Bs.
     pallas_build: bool = os.environ.get("LIDARREG_PALLAS_BUILD", "0") == "1"
+    # Sort-free structure build: derive each level's unique coordinate set
+    # from the claim rounds its hash-table build already runs
+    # (sparse/hashtable.build_table_dedup) instead of the multi-key
+    # `lax.sort` dedup (`downsample_coords`, ~34 ms of the 146 ms forward
+    # @32k — BASELINE.md roofline). Changes the COARSE levels' row order
+    # (deterministic claim order, not lexicographic); level-0 row order —
+    # the tensor's public feature order — is unchanged and sparse conv is
+    # row-order invariant, so outputs match to fp tolerance.
+    # Default OFF until the on-chip parity+timing gate
+    # (scripts/forward_build_ab.py, "dedup" mode) passes — repo rule: every
+    # new scatter/gather-heavy path is proven on v5e before it can default
+    # on (two prior miscompile post-mortems). LIDARREG_DEDUP_BUILD=1
+    # enables.
+    dedup_build: bool = os.environ.get("LIDARREG_DEDUP_BUILD", "0") == "1"
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
@@ -274,6 +293,24 @@ class ResUNetBN2C(nn.Module):
             t1, t2, t4, t8 = (
                 HashTable(tabs.table[i], tabs.mask[i]) for i in range(4)
             )
+        elif self.dedup_build:
+            t1 = table_for(x)
+
+            def dedup_level(coords, valid, s2, capacity):
+                # per-side entries at table_factor 16 on the level CAPACITY
+                # (same sizing as the sort path's mk_table): bucket load is
+                # bounded by unique keys <= capacity, so the 1-probe
+                # lookup's retry path fires ~never; duplicate quantized
+                # parents drain via dup_served without consuming lanes
+                size = 1
+                while size < 16 * capacity:
+                    size *= 2
+                q = (coords // s2) * s2
+                return build_table_dedup(q, valid, size, capacity)
+
+            t2, c2, v2 = dedup_level(c1, v1, 2 * s, caps[1])
+            t4, c4, v4 = dedup_level(c2, v2, 4 * s, caps[2])
+            t8, c8, v8 = dedup_level(c4, v4, 8 * s, caps[3])
         else:
             t1 = table_for(x)
             c2, v2 = downsample_coords(c1, v1, s, caps[1])

@@ -104,12 +104,25 @@ def build_table(
     v, d = coords.shape
     assert lanes & (lanes - 1) == 0, "lanes must be 2^k"
     assert table_size >= lanes, (table_size, lanes)
-    stride = d + 1
     T = table_size // lanes
     mask = jnp.int32(T - 1)
     idx = jnp.arange(v, dtype=jnp.int32)
     buckets = (_h1(coords, mask), _h2(coords, mask))
+    inserts, slot, lane_of, flags, unplaced = _claim_rounds(
+        coords, valid, buckets, T, lanes
+    )
+    placed = valid & ~unplaced
+    tab = _materialize(
+        coords, inserts, slot, lane_of, flags, buckets, idx, T, lanes
+    )
+    return HashTable(tab, mask), placed
 
+
+def _claim_rounds(coords, valid, buckets, T: int, lanes: int):
+    """2*lanes set-scatter claim rounds (see `build_table`): exactly one
+    winner lane per unique valid coord; duplicates drain via dup_served."""
+    v = coords.shape[0]
+    idx = jnp.arange(v, dtype=jnp.int32)
     unplaced = valid
     inserts = jnp.zeros((v,), bool)            # keys that own a lane
     slot = jnp.zeros((v,), jnp.int32)          # flat lane slot per insert
@@ -143,14 +156,23 @@ def build_table(
                 )
             )
             unplaced = unplaced & ~dup_served   # dup_served includes win
-    placed = valid & ~unplaced
+    return inserts, slot, lane_of, flags, unplaced
 
-    # one-shot materialization: flat [2T * lanes * (D+1)] then reshape.
-    # Side-1 winners in the LAST lane of a flagged bucket carry the
-    # overflow flag in bit 30 of their row value.
+
+def _materialize(
+    coords, inserts, slot, lane_of, flags, buckets, rowvals, T: int,
+    lanes: int,
+):
+    """One-shot table materialization: flat [2T * lanes * (D+1)] then
+    reshape. Side-1 winners in the LAST lane of a flagged bucket carry the
+    overflow flag in bit 30 of their row value. `rowvals` is the row id
+    each winner stores (`build_table`: its own input row; dedup build: the
+    output rank)."""
+    d = coords.shape[1]
+    stride = d + 1
     on_side1 = slot < T * lanes
     flagged = flags[buckets[0]]
-    rowval = idx | jnp.where(
+    rowval = rowvals | jnp.where(
         inserts & on_side1 & (lane_of == lanes - 1) & flagged, _FLAG, 0
     )
     pattern = jnp.concatenate(
@@ -161,8 +183,67 @@ def build_table(
     for k in range(d):
         flat = flat.at[base + k].set(coords[:, k], mode="drop")
     flat = flat.at[base + d].set(rowval, mode="drop")
-    tab = flat.reshape(2 * T, lanes * stride)
-    return HashTable(tab, mask), placed
+    return flat.reshape(2 * T, lanes * stride)
+
+
+def build_table_dedup(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    table_size: int,
+    out_capacity: int,
+    lanes: int = 4,
+):
+    """Build a table over coords [V, D] THAT MAY CONTAIN DUPLICATES and
+    derive the unique-coordinate list from the same claim rounds.
+
+    The U-Net structure build previously deduped each level's coordinates
+    with a multi-key `lax.sort` (`tensor.downsample_coords`, ~34 ms of the
+    146 ms forward @32k on v5e; BASELINE.md roofline) and then built the
+    level's hash table from the deduped list. But `build_table`'s claim
+    rounds already perform an exact dedup — duplicates drain via
+    dup_served and exactly one lane wins per unique coord — so the sort is
+    redundant work: insert the QUANTIZED parent-level coords directly and
+    read the unique list off the winners. The output row id of each unique
+    coord is its winner's rank by input row (cumsum over `inserts`) —
+    deterministic, but NOT lexicographic like `downsample_coords` (the
+    order is a free choice: ME's own coordinate-manager order is
+    hash-insertion-dependent; sparse conv is row-order invariant and the
+    level-0 row order — the tensor's public feature order — is unchanged).
+
+    Unique coords beyond `out_capacity` are dropped from BOTH the output
+    list and the table (lookup returns -1), matching the sort path's
+    truncation semantics. Returns (HashTable, out_coords [out_capacity, D],
+    out_valid [out_capacity]).
+    """
+    assert table_size & (table_size - 1) == 0, "table_size must be 2^k"
+    v, d = coords.shape
+    assert lanes & (lanes - 1) == 0, "lanes must be 2^k"
+    assert table_size >= lanes, (table_size, lanes)
+    T = table_size // lanes
+    mask = jnp.int32(T - 1)
+    buckets = (_h1(coords, mask), _h2(coords, mask))
+    inserts, slot, lane_of, flags, _ = _claim_rounds(
+        coords, valid, buckets, T, lanes
+    )
+    rank = jnp.cumsum(inserts.astype(jnp.int32)) - 1
+    keep = inserts & (rank < out_capacity)
+    write = jnp.where(keep, rank, out_capacity)
+    out_coords = jnp.zeros((out_capacity, d), jnp.int32).at[write].set(
+        coords, mode="drop"
+    )
+    count = jnp.sum(inserts.astype(jnp.int32))
+    out_valid = jnp.arange(out_capacity) < jnp.minimum(count, out_capacity)
+    # winners past out_capacity still WRITE their lane, with an _EMPTY row
+    # value: the lane reads as absent (_resolve masks bit 30 then compares
+    # against _EMPTY) but a last-lane winner's overflow-flag bit survives —
+    # otherwise a dropped last-lane winner would silently orphan every
+    # side-2 resident of its bucket (lookup would miss them while their
+    # rows sit inside out_capacity).
+    tab = _materialize(
+        coords, inserts, slot, lane_of, flags, buckets,
+        jnp.where(keep, rank, _EMPTY), T, lanes
+    )
+    return HashTable(tab, mask), out_coords, out_valid
 
 
 def _resolve(entries, query, lanes, d):

@@ -1,9 +1,18 @@
 """Full FCGF forward A/B across structure-build modes, on the real TPU.
 
-Times the COMPLETE ResUNetBN2C forward (not just the build) with the three
-build paths — serialized claim rounds (round 2), fused XLA (round 3), and
-the single-pass VMEM pallas build (round 4, sparse/pallas_build.py) — at
-single-cloud 32k and the pair-batched 64k the e2e benchmark runs. Also
+Times the COMPLETE ResUNetBN2C forward (not just the build) with the four
+build paths — serialized claim rounds (round 2), fused XLA (round 3), the
+single-pass VMEM pallas build (round 4, sparse/pallas_build.py), and the
+sort-free dedup build (round 4, hashtable.build_table_dedup: the level
+coordinate lists come from the table's own claim rounds) — at single-cloud
+32k and the pair-batched 64k the e2e benchmark runs.
+
+Scene: data/adapters.synthesize_lidar_scene (the family the benchmark and
+trainer use). The earlier uniform-random scene OVERFILLS coarse levels
+(stride-4 unique cells 1.5x the level capacity at 32k) — under truncation
+the build modes legitimately keep different cell subsets and feature
+parity is meaningless; realistic LiDAR occupancy stays well under every
+level capacity (measured: 9.1k unique stride-4 cells vs 16384 cap @32k). Also
 checks cross-mode parity of the output features: coarse-level coordinate
 ORDER differs between builds (lexicographic vs first-occurrence), so
 feature parity is checked per-voxel (max |delta| over valid rows), not
@@ -51,8 +60,9 @@ def main():
     caps = [int(a) for a in sys.argv[1:]] or [32768, 65536]
     rng = np.random.default_rng(0)
     for cap in caps:
-        pts = rng.uniform(-70, 70, (cap * 2, 3)).astype(np.float32)
-        pts[:, 2] = rng.uniform(-2, 6, cap * 2)
+        from lidarreg.data.adapters import synthesize_lidar_scene
+
+        pts = synthesize_lidar_scene(rng, cap * 4)
         v = voxelize_points(jnp.asarray(pts), 0.3, cap)
         feats = jnp.ones((cap, 1), jnp.float32)
         st = SparseTensor(coords=v.coords, feats=feats, valid=v.valid,
@@ -60,9 +70,14 @@ def main():
 
         outs, times = {}, {}
         for mode, kw in (
-            ("serial", dict(fused_build=False, pallas_build=False)),
-            ("fused", dict(fused_build=True, pallas_build=False)),
-            ("pallas", dict(fused_build=True, pallas_build=True)),
+            ("serial", dict(fused_build=False, pallas_build=False,
+                            dedup_build=False)),
+            ("fused", dict(fused_build=True, pallas_build=False,
+                           dedup_build=False)),
+            ("pallas", dict(fused_build=True, pallas_build=True,
+                            dedup_build=False)),
+            ("dedup", dict(fused_build=False, pallas_build=False,
+                           dedup_build=True)),
         ):
             model = ResUNetBN2C(**kw)
             params = model.init(jax.random.PRNGKey(0), st, train=False)
@@ -73,7 +88,7 @@ def main():
 
         f_ref = np.asarray(outs["fused"].feats)
         vmask = np.asarray(outs["fused"].valid)
-        for mode in ("serial", "pallas"):
+        for mode in ("serial", "pallas", "dedup"):
             f = np.asarray(outs[mode].feats)
             d = np.abs(f - f_ref)[vmask].max() if vmask.any() else 0.0
             scale = np.abs(f_ref[vmask]).max()

@@ -264,3 +264,81 @@ class TestFusedStructureBuild:
         rel = float(jnp.abs(fa - fb).max()) / (
             float(jnp.abs(fb).max()) + 1e-30)
         assert rel < 1e-6, rel
+
+
+class TestDedupStructureBuild:
+    """dedup_build: per-level coord sets from the table build's own claim
+    rounds (sparse/hashtable.build_table_dedup) instead of the multi-key
+    sort. Coarse-level ROW ORDER differs (claim order vs lexicographic);
+    sparse conv is row-order invariant and level-0 order is unchanged, so
+    level-0 outputs must match the sort path to fp tolerance."""
+
+    def test_dedup_build_matches_serialized(self, rng):
+        # level_capacity_div=(1,1,1,1): no coarse-level truncation — under
+        # truncation the two paths legitimately keep DIFFERENT subsets
+        # (lexicographic prefix vs claim order) and outputs diverge
+        x = make_input(rng, n_pts=2500, cap=2048)
+        kw = dict(compute_dtype=None, fused_build=False,
+                  level_capacity_div=(1, 1, 1, 1))
+        dedup = ResUNetBN2C(dedup_build=True, **kw)
+        serial = ResUNetBN2C(dedup_build=False, **kw)
+        params = dedup.init(jax.random.PRNGKey(0), x, train=False)
+        o1 = dedup.apply(params, x, train=False)
+        o2 = serial.apply(params, x, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(o1.valid), np.asarray(o2.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-5
+        )
+
+    def test_dedup_build_matches_serialized_dim6(self, rng):
+        coords6 = np.unique(
+            rng.integers(-12, 12, (400, 6)).astype(np.int32), axis=0
+        )
+        cap, n = 512, len(coords6)
+        full = np.concatenate(
+            [coords6, np.full((cap - n, 6), 2**20, np.int32)]
+        )
+        valid = jnp.asarray(np.arange(cap) < n)
+        feats = jnp.ones((cap, 1), jnp.float32) * valid[:, None]
+        x = SparseTensor(jnp.asarray(full), feats, valid, 1)
+        kw = dict(dim=6, out_channels=1, conv1_kernel_size=3,
+                  normalize_feature=False, compute_dtype=None,
+                  fused_build=False, level_capacity_div=(1, 1, 1, 1))
+        dedup = ResUNetBN2C(dedup_build=True, **kw)
+        serial = ResUNetBN2C(dedup_build=False, **kw)
+        params = dedup.init(jax.random.PRNGKey(0), x, train=False)
+        o1 = dedup.apply(params, x, train=False)
+        o2 = serial.apply(params, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-5
+        )
+
+    def test_dedup_build_grad_matches(self, rng):
+        """Training goes through the same structure build: gradients of a
+        scalar loss must match the sort path (f32, train=False BN to keep
+        the comparison exact across coarse-row permutations)."""
+        x = make_input(rng, n_pts=1200, cap=1024)
+        kw = dict(compute_dtype=None, fused_build=False,
+                  level_capacity_div=(1, 1, 1, 1))
+        dedup = ResUNetBN2C(dedup_build=True, **kw)
+        serial = ResUNetBN2C(dedup_build=False, **kw)
+        params = dedup.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(m):
+            def f(p):
+                o = m.apply(p, x, train=False)
+                return jnp.sum(
+                    jnp.where(o.valid[:, None], o.feats, 0.0) ** 2
+                )
+            return f
+
+        g1 = jax.grad(loss(dedup))(params)
+        g2 = jax.grad(loss(serial))(params)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        flat2 = jax.tree_util.tree_leaves(g2)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+            )

@@ -614,3 +614,66 @@ class TestLookupGrouped:
             )
             absent = np.asarray(got[L + lvl])[np.asarray(vs[lvl])]
             assert (absent == -1).all()
+
+
+class TestBuildTableDedup:
+    """build_table_dedup: the claim rounds both build the table AND derive
+    the unique coordinate list (sort-free downsample — hashtable.py)."""
+
+    def test_set_parity_with_sorted_downsample(self, rng):
+        from lidarreg.sparse.hashtable import build_table_dedup, lookup
+
+        V, cap = 4096, 4096
+        coords = rng.integers(-40, 40, (V, 3)).astype(np.int32) * 2
+        valid = jnp.asarray(rng.random(V) < 0.9)
+        c = jnp.asarray(coords)
+        ref_c, ref_v = downsample_coords(c, valid, 2, cap)
+        ref_set = set(map(tuple, np.asarray(ref_c)[np.asarray(ref_v)]))
+        tab, out_c, out_v = build_table_dedup(
+            (c // 4) * 4, valid, 65536, cap
+        )
+        got = np.asarray(out_c)[np.asarray(out_v)]
+        assert set(map(tuple, got)) == ref_set
+        # every listed coord is findable at its own row; absences miss
+        rows = np.asarray(lookup(tab, jnp.asarray(got)))
+        np.testing.assert_array_equal(rows, np.arange(len(got)))
+        absent = jnp.asarray([[401, 0, 0], [0, 403, 0]], jnp.int32)
+        assert np.all(np.asarray(lookup(tab, absent)) == -1)
+
+    def test_heavy_duplicates_one_row_per_cell(self, rng):
+        from lidarreg.sparse.hashtable import build_table_dedup
+
+        V = 4096
+        coords = (rng.integers(0, 5, (V, 3)) * 4).astype(np.int32)
+        tab, oc, ov = build_table_dedup(
+            jnp.asarray(coords), jnp.ones(V, bool), 65536, 1024
+        )
+        n = int(np.asarray(ov).sum())
+        uniq = set(map(tuple, coords))
+        assert n == len(uniq)
+        assert set(map(tuple, np.asarray(oc)[:n])) == uniq
+
+    def test_truncation_list_table_consistent(self, rng):
+        """Unique cells beyond out_capacity drop from BOTH the list and the
+        table; every listed coord stays findable (the dropped-winner lane
+        still carries its bucket's overflow flag — hashtable.py)."""
+        from lidarreg.sparse.hashtable import build_table_dedup, lookup
+
+        V, small = 4096, 64
+        coords = rng.integers(-40, 40, (V, 3)).astype(np.int32) * 2
+        valid = jnp.asarray(rng.random(V) < 0.9)
+        q = (jnp.asarray(coords) // 4) * 4
+        tab, oc, ov = build_table_dedup(q, valid, 1024, small)
+        assert int(np.asarray(ov).sum()) == small
+        rows = np.asarray(lookup(tab, oc))
+        np.testing.assert_array_equal(rows[:small], np.arange(small))
+
+    def test_all_invalid(self, rng):
+        from lidarreg.sparse.hashtable import build_table_dedup, lookup
+
+        c = jnp.asarray(rng.integers(-8, 8, (256, 3)).astype(np.int32))
+        tab, oc, ov = build_table_dedup(
+            c, jnp.zeros(256, bool), 4096, 256
+        )
+        assert not bool(np.asarray(ov).any())
+        assert np.all(np.asarray(lookup(tab, c)) == -1)

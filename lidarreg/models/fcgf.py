@@ -44,6 +44,7 @@ from ..sparse.hashtable import (
     build_table,
     build_table_dedup,
     lookup_grouped,
+    lookup_grouped_ragged,
 )
 from ..sparse.tensor import (
     SparseTensor,
@@ -229,6 +230,18 @@ class ResUNetBN2C(nn.Module):
     # on (two prior miscompile post-mortems). LIDARREG_DEDUP_BUILD=1
     # enables.
     dedup_build: bool = os.environ.get("LIDARREG_DEDUP_BUILD", "0") == "1"
+    # Grouped kernel-map probe for the serial/dedup builds: all 7 per-level
+    # lookups in ONE program over row-concatenated PER-LEVEL-SIZED tables
+    # (sparse/hashtable.lookup_grouped_ragged). The grouped probe is where
+    # the fused path's speedup actually lived (maps 25 ms grouped vs 66 ms
+    # serialized @32k) but it was coupled to the equal-shape table stack
+    # and its 64k regression; this keeps per-level sizing. Default OFF
+    # until the on-chip gate (scripts/forward_build_ab.py) passes.
+    # LIDARREG_GROUPED_LOOKUP=1 enables. No effect under fused/pallas
+    # builds (they already probe grouped).
+    grouped_lookup: bool = (
+        os.environ.get("LIDARREG_GROUPED_LOOKUP", "0") == "1"
+    )
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
@@ -334,12 +347,12 @@ class ResUNetBN2C(nn.Module):
         offs2 = kernel_offsets(3, 2 * s, self.dim)
         offs4 = kernel_offsets(3, 4 * s, self.dim)
         offs8 = kernel_offsets(3, 8 * s, self.dim)
-        if use_pallas or self.fused_build:
+        if use_pallas or self.fused_build or self.grouped_lookup:
             # EVERY hash probe of the forward — four symmetric-stencil
             # stride-1 maps + three fine-side down maps — in ONE
             # lookup_grouped call: one gather program, one retry pool
             # (sparse/hashtable.py), instead of 7 serialized lookups
-            rows = lookup_grouped(tabs, [
+            items = [
                 (0, stride1_queries(c1, offs1)),
                 (1, stride1_queries(c2, offs2)),
                 (2, stride1_queries(c4, offs4)),
@@ -347,7 +360,14 @@ class ResUNetBN2C(nn.Module):
                 (1, down_queries(c1, s)[0]),
                 (2, down_queries(c2, 2 * s)[0]),
                 (3, down_queries(c4, 4 * s)[0]),
-            ])
+            ]
+            if use_pallas or self.fused_build:
+                rows = lookup_grouped(tabs, items)
+            else:
+                # ragged variant: per-level table sizing kept (the equal-
+                # shape stack forces LEVEL-0 sizing on every level, the
+                # 1.7x-at-64k regression fused_build documents above)
+                rows = lookup_grouped_ragged([t1, t2, t4, t8], items)
             km1_c1 = kernel_map_stride1(t1, v1, c1, offs1, nb_half=rows[0])
             km2 = kernel_map_stride1(t2, v2, c2, offs2, nb_half=rows[1])
             km4 = kernel_map_stride1(t4, v4, c4, offs4, nb_half=rows[2])

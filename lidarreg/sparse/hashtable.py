@@ -402,3 +402,54 @@ def lookup_grouped(
         res.append(out[ofs:ofs + n].reshape(shape))
         ofs += n
     return res
+
+
+def lookup_grouped_ragged(
+    tables: list[HashTable],
+    items: list[tuple[int, jnp.ndarray]],
+    retry_capacity: int | None = None,
+) -> list[jnp.ndarray]:
+    """`lookup_grouped` over tables of DIFFERENT sizes (same bucket width).
+
+    The fused build's grouped probe — ONE e1 gather + ONE retry pool for
+    every kernel map of a U-Net forward — was the real win of that path
+    (maps 25 ms grouped vs 66 ms as 7 serialized lookups @32k; BASELINE.md
+    round-3/4 sections), but it required equal-shaped tables, which forces
+    the shared LEVEL-0 sizing that regresses 1.7x at 64k. Concatenating the
+    tables along ROWS instead (per-level row offsets folded into the bucket
+    rows, per-level masks for the hashes) keeps per-level sizing AND the
+    single-probe program. `items` is [(table_index, query[..., D]), ...].
+    """
+    W = tables[0].table.shape[1]
+    assert all(t.table.shape[1] == W for t in tables)
+    flat = jnp.concatenate([t.table for t in tables], axis=0)
+    bases, acc = [], 0
+    for t in tables:
+        bases.append(acc)
+        acc += t.table.shape[0]
+    d = items[0][1].shape[-1]
+    lanes = W // (d + 1)
+    qs, r1s, r2s, shapes, sizes = [], [], [], [], []
+    for lvl, query in items:
+        assert query.shape[-1] == d
+        shapes.append(query.shape[:-1])
+        qf = query.reshape(-1, d)
+        sizes.append(qf.shape[0])
+        mask = tables[lvl].mask
+        base = jnp.int32(bases[lvl])
+        r1s.append(base + _h1(qf, mask))
+        r2s.append(base + (mask + 1) + _h2(qf, mask))
+        qs.append(qf)
+    out = _lookup_rows(
+        flat,
+        jnp.concatenate(r1s),
+        jnp.concatenate(r2s),
+        jnp.concatenate(qs),
+        lanes,
+        retry_capacity,
+    )
+    res, ofs = [], 0
+    for shape, n in zip(shapes, sizes):
+        res.append(out[ofs:ofs + n].reshape(shape))
+        ofs += n
+    return res

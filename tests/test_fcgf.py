@@ -342,3 +342,26 @@ class TestDedupStructureBuild:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
             )
+
+
+class TestGroupedLookupRagged:
+    def test_grouped_lookup_forward_parity(self, rng):
+        """grouped_lookup=True (one ragged probe over per-level tables) must
+        be numerically identical to the 7-serialized-lookup path — same
+        tables, same queries, different program shape."""
+        x = make_input(rng, n_pts=2500, cap=2048)
+        kw = dict(compute_dtype=None, fused_build=False)
+        for dedup in (False, True):
+            grp = ResUNetBN2C(grouped_lookup=True, dedup_build=dedup, **kw)
+            plain = ResUNetBN2C(grouped_lookup=False, dedup_build=dedup,
+                                **kw)
+            params = grp.init(jax.random.PRNGKey(0), x, train=False)
+            o1 = grp.apply(params, x, train=False)
+            o2 = plain.apply(params, x, train=False)
+            np.testing.assert_array_equal(
+                np.asarray(o1.valid), np.asarray(o2.valid)
+            )
+            np.testing.assert_allclose(
+                np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-6,
+                err_msg=f"dedup={dedup}",
+            )

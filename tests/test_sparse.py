@@ -677,3 +677,46 @@ class TestBuildTableDedup:
         )
         assert not bool(np.asarray(ov).any())
         assert np.all(np.asarray(lookup(tab, c)) == -1)
+
+
+class TestLookupGroupedRagged:
+    def test_matches_individual_lookups_over_ragged_tables(self, rng):
+        """One probe over row-concatenated DIFFERENT-sized tables must equal
+        per-table `lookup` (the per-level sizing the equal-shape
+        `lookup_grouped` stack cannot express)."""
+        from lidarreg.sparse.hashtable import (
+            build_table,
+            lookup,
+            lookup_grouped_ragged,
+        )
+
+        tables, queries = [], []
+        for i, (n, size) in enumerate(
+            ((1500, 32768), (700, 16384), (300, 8192))
+        ):
+            coords = np.unique(
+                rng.integers(-60, 60, (n, 3)).astype(np.int32) * (i + 1),
+                axis=0,
+            )
+            c = jnp.asarray(
+                np.concatenate(
+                    [coords, np.full((n - len(coords) + 64, 3), 2**20,
+                                     np.int32)]
+                )
+            )
+            v = jnp.arange(c.shape[0]) < len(coords)
+            tab, _ = build_table(c, v, size)
+            tables.append(tab)
+            # query mix: present coords + absent probes, odd leading shape
+            qs = np.concatenate(
+                [coords[:: max(1, len(coords) // 40)],
+                 rng.integers(-200, 200, (17, 3)).astype(np.int32) * 7 + 1]
+            )
+            queries.append(jnp.asarray(qs))
+        items = [(2, queries[2]), (0, queries[0]), (1, queries[1]),
+                 (0, queries[0][:5])]
+        got = lookup_grouped_ragged(tables, items)
+        for (lvl, q), g in zip(items, got):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(lookup(tables[lvl], q))
+            )

@@ -285,6 +285,21 @@ def main():
     solve_ms = 1000 * min(e - f for e, f in zip(times_e2e, times_fwd))
     note(f"bench: e2e split fwd={1000*min(times_fwd):.1f} ms, "
          f"solve={solve_ms:.1f} ms")
+    # e2e streaming: 10 pairs in flight through BOTH programs (encoder,
+    # match+solve), block once — same production batch protocol as the
+    # solver streaming number above
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(10):
+        F = fwd(params, st_pair)
+        outs.append(register(
+            F.feats[:CAP], F.feats[CAP:], xyz0, xyz1,
+            F.valid[:CAP], F.valid[CAP:], jax.random.PRNGKey(200 + i)
+        ))
+    jax.block_until_ready([o.transform for o in outs])
+    e2e_stream_pps = 10.0 / (time.perf_counter() - t0)
+    note(f"bench: e2e streaming {e2e_stream_pps:.2f} pairs/sec "
+         f"({1000.0 / e2e_stream_pps:.1f} ms/pair amortized)")
     rtt_after = tunnel_rtt_ms()
     tunnel_ok = max(rtt_before, rtt_after) < 10.0
     note(f"bench: tunnel RTT after {rtt_after:.2f} ms "
@@ -299,6 +314,9 @@ def main():
                 "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
                 "extra": {
                     "fcgf_e2e_pairs_per_sec": round(e2e_pairs_per_sec, 3),
+                    "fcgf_e2e_pairs_per_sec_streaming": round(
+                        e2e_stream_pps, 3
+                    ),
                     "fcgf_e2e_ms_per_pair": round(1000 * min(times_e2e), 1),
                     "fcgf_e2e_success": e2e_ok,
                     "fcgf_e2e_te_cm": round(float(e2e_te) * 100, 2),

@@ -338,23 +338,36 @@ def main(argv=None):
         def run_step(state, key):
             return step(state, sample_batch(train_ds, key))
 
-        def val_metric(state):
-            # FIXED pairs + fixed resampling each epoch: model_best must
-            # compare checkpoints on identical validation data, not on
-            # whichever pair the advancing train rng happens to draw
-            b = sample_batch(val_ds, jax.random.PRNGKey(999),
-                             r=np.random.default_rng(999))
-            kw = {"testing": False} if args.model == "pointdsc" else {}
+        _val_kw = {"testing": False} if args.model == "pointdsc" else {}
+
+        @jax.jit
+        def _val_recall(variables, b):
             out = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                variables,
                 {k: b[k] for k in ("corr_pos", "src_keypts", "tgt_keypts")},
-                train=False, **kw,
+                train=False, **_val_kw,
             )
             tl = transformation_loss(
                 out["final_trans"], b["gt_trans"], b["src_keypts"],
                 b["tgt_keypts"], out["final_labels"],
             )
-            return float(tl["recall"])
+            return tl["recall"]
+
+        def val_metric(state):
+            # FIXED pairs + fixed resampling each epoch: model_best must
+            # compare checkpoints on identical validation data, not on
+            # whichever pair the advancing train rng happens to draw.
+            # Averaged over SEVERAL fixed pairs — a single-pair val recall
+            # is 0/100 and promoted a lucky near-init OANet checkpoint that
+            # scored 0% on the 12-pair matrix (round-4 post-mortem).
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            recalls = []
+            for vi in range(4):
+                b = sample_batch(val_ds, jax.random.PRNGKey(999 + vi),
+                                 r=np.random.default_rng(999 + vi))
+                recalls.append(float(_val_recall(variables, b)))
+            return float(np.mean(recalls))
 
         params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
 

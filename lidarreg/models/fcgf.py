@@ -235,12 +235,14 @@ class ResUNetBN2C(nn.Module):
     # (sparse/hashtable.lookup_grouped_ragged). The grouped probe is where
     # the fused path's speedup actually lived (maps 25 ms grouped vs 66 ms
     # serialized @32k) but it was coupled to the equal-shape table stack
-    # and its 64k regression; this keeps per-level sizing. Default OFF
-    # until the on-chip gate (scripts/forward_build_ab.py) passes.
-    # LIDARREG_GROUPED_LOOKUP=1 enables. No effect under fused/pallas
-    # builds (they already probe grouped).
+    # and its 64k regression; this keeps per-level sizing. Default ON
+    # after the on-chip gate passed (scripts/forward_build_ab.py: forward
+    # 133.6 vs 142.9 ms @32k, 243.8 vs 243.3 @65k, parity bit-exact vs
+    # serial — BASELINE.md round-4 build A/B). LIDARREG_GROUPED_LOOKUP=0
+    # is the escape hatch. No effect under fused/pallas builds (they
+    # already probe grouped).
     grouped_lookup: bool = (
-        os.environ.get("LIDARREG_GROUPED_LOOKUP", "0") == "1"
+        os.environ.get("LIDARREG_GROUPED_LOOKUP", "1") == "1"
     )
 
     @nn.compact

@@ -8,8 +8,13 @@ reference's per-algo test.py runs; results land in BASELINE.md's matrix.
       [--pointdsc_weights ...] [--oanet_weights ...] [--dgr_weights ...]
 """
 import argparse
+import os
 import re
 import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main(argv=None):

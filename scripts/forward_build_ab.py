@@ -70,14 +70,16 @@ def main():
 
         outs, times = {}, {}
         for mode, kw in (
+            # grouped_lookup pinned False (it is the DEFAULT since the
+            # round-4 gate) so these rows keep measuring the plain probes
             ("serial", dict(fused_build=False, pallas_build=False,
-                            dedup_build=False)),
+                            dedup_build=False, grouped_lookup=False)),
             ("fused", dict(fused_build=True, pallas_build=False,
-                           dedup_build=False)),
+                           dedup_build=False, grouped_lookup=False)),
             ("pallas", dict(fused_build=True, pallas_build=True,
-                            dedup_build=False)),
+                            dedup_build=False, grouped_lookup=False)),
             ("dedup", dict(fused_build=False, pallas_build=False,
-                           dedup_build=True)),
+                           dedup_build=True, grouped_lookup=False)),
             ("serial+grp", dict(fused_build=False, pallas_build=False,
                                 dedup_build=False, grouped_lookup=True)),
             ("dedup+grp", dict(fused_build=False, pallas_build=False,

@@ -365,3 +365,21 @@ class TestGroupedLookupRagged:
                 np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-6,
                 err_msg=f"dedup={dedup}",
             )
+
+    def test_grouped_lookup_is_the_default(self, monkeypatch):
+        """The grouped ragged probe is the shipped default after the
+        round-4 on-chip gate (BASELINE.md build A/B); the env var is the
+        escape hatch in BOTH directions."""
+        import importlib
+        import os
+
+        import lidarreg.models.fcgf as fcgf_mod
+
+        monkeypatch.delenv("LIDARREG_GROUPED_LOOKUP", raising=False)
+        mod = importlib.reload(fcgf_mod)
+        assert mod.ResUNetBN2C().grouped_lookup is True
+        monkeypatch.setenv("LIDARREG_GROUPED_LOOKUP", "0")
+        mod = importlib.reload(fcgf_mod)
+        assert mod.ResUNetBN2C().grouped_lookup is False
+        monkeypatch.delenv("LIDARREG_GROUPED_LOOKUP", raising=False)
+        importlib.reload(fcgf_mod)

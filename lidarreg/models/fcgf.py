@@ -43,6 +43,7 @@ from ..sparse.hashtable import (
     HashTable,
     build_table,
     build_table_dedup,
+    build_tables_ragged,
     lookup_grouped,
     lookup_grouped_ragged,
 )
@@ -230,6 +231,18 @@ class ResUNetBN2C(nn.Module):
     # on (two prior miscompile post-mortems). LIDARREG_DEDUP_BUILD=1
     # enables.
     dedup_build: bool = os.environ.get("LIDARREG_DEDUP_BUILD", "0") == "1"
+    # Combined ragged claim build (sparse/hashtable.build_tables_ragged):
+    # ALL four per-level-sized tables AND all three coarse coordinate
+    # lists from ONE set of 2*lanes claim rounds over a row-concatenated
+    # table space — every level quantizes straight from level 0 (floor
+    # division composes), so the 7-program serialized build chain
+    # collapses to a single chain. Coarse-level row order is claim order
+    # (same caveat as dedup_build); level-0 order unchanged. Default OFF
+    # until the on-chip gate (scripts/forward_build_ab.py, "combined"
+    # mode) passes. LIDARREG_COMBINED_BUILD=1 enables.
+    combined_build: bool = (
+        os.environ.get("LIDARREG_COMBINED_BUILD", "0") == "1"
+    )
     # Grouped kernel-map probe for the serial/dedup builds: all 7 per-level
     # lookups in ONE program over row-concatenated PER-LEVEL-SIZED tables
     # (sparse/hashtable.lookup_grouped_ragged). The grouped probe is where
@@ -308,6 +321,23 @@ class ResUNetBN2C(nn.Module):
             t1, t2, t4, t8 = (
                 HashTable(tabs.table[i], tabs.mask[i]) for i in range(4)
             )
+        elif self.combined_build:
+            # one claim-round chain for all four tables + three coarse
+            # coordinate lists; per-level table sizing kept (table_factor
+            # 16, as mk_table below)
+            def size_of(capacity):
+                size = 1
+                while size < 16 * capacity:
+                    size *= 2
+                return size
+
+            (t1, t2, t4, t8), louts = build_tables_ragged([
+                (c1, v1, size_of(cap), None),
+                ((c1 // (2 * s)) * (2 * s), v1, size_of(caps[1]), caps[1]),
+                ((c1 // (4 * s)) * (4 * s), v1, size_of(caps[2]), caps[2]),
+                ((c1 // (8 * s)) * (8 * s), v1, size_of(caps[3]), caps[3]),
+            ])
+            (c2, v2), (c4, v4), (c8, v8) = louts[1], louts[2], louts[3]
         elif self.dedup_build:
             t1 = table_for(x)
 

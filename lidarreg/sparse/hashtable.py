@@ -246,6 +246,156 @@ def build_table_dedup(
     return HashTable(tab, mask), out_coords, out_valid
 
 
+def _claim_rounds_rows(coords, valid, row1, row2, R: int, lanes: int):
+    """Row-space claim rounds: `_claim_rounds` over PRECOMPUTED absolute
+    bucket rows (side-1 `row1`, side-2 `row2`) in a combined [R]-row table
+    space — the core that lets `build_tables_ragged` build SEVERAL
+    per-level-sized tables in ONE set of 2*lanes rounds. Returns
+    (inserts, slot, lane_of, flagged_key, unplaced); `flagged_key` is
+    per-KEY ("this key's side-1 bucket overflowed")."""
+    v = coords.shape[0]
+    idx = jnp.arange(v, dtype=jnp.int32)
+    unplaced = valid
+    inserts = jnp.zeros((v,), bool)
+    slot = jnp.zeros((v,), jnp.int32)
+    lane_of = jnp.zeros((v,), jnp.int32)
+    flags = jnp.zeros((R,), bool)
+    for side in range(2):
+        if side == 1:
+            fb = jnp.where(unplaced, row1, R)
+            flags = flags.at[fb].set(True, mode="drop")
+        row = (row1, row2)[side]
+        for lane in range(lanes):
+            wb = jnp.where(unplaced, row, R)
+            claim = jnp.full((R,), -1, jnp.int32).at[wb].set(
+                idx, mode="drop"
+            )
+            winner = claim[row]
+            win = unplaced & (winner == idx)
+            slot = jnp.where(win, row * lanes + lane, slot)
+            lane_of = jnp.where(win, lane, lane_of)
+            inserts = inserts | win
+            dup_served = (
+                unplaced
+                & (winner >= 0)
+                & jnp.all(
+                    coords[jnp.maximum(winner, 0)] == coords, axis=-1
+                )
+            )
+            unplaced = unplaced & ~dup_served
+    return inserts, slot, lane_of, flags[row1], unplaced
+
+
+def _materialize_rows(
+    coords, inserts, slot, lane_of, row1, flagged_key, rowvals,
+    R: int, lanes: int,
+):
+    """`_materialize` over the combined row space: side-1 membership is
+    "the winning bucket row IS this key's side-1 row" (per-level side
+    halves are disjoint within each level's row span)."""
+    d = coords.shape[1]
+    stride = d + 1
+    on_side1 = (slot // lanes) == row1
+    rowval = rowvals | jnp.where(
+        inserts & on_side1 & (lane_of == lanes - 1) & flagged_key, _FLAG, 0
+    )
+    pattern = jnp.concatenate(
+        [jnp.zeros((d,), jnp.int32), _EMPTY[None]]
+    )
+    flat = jnp.tile(pattern, R * lanes)
+    base = jnp.where(inserts, slot * stride, R * lanes * stride)
+    for k in range(d):
+        flat = flat.at[base + k].set(coords[:, k], mode="drop")
+    flat = flat.at[base + d].set(rowval, mode="drop")
+    return flat.reshape(R, lanes * stride)
+
+
+def build_tables_ragged(levels, lanes: int = 4):
+    """Build SEVERAL per-level-sized hash tables in ONE set of 2*lanes
+    set-scatter claim rounds over a row-concatenated table space.
+
+    The serial U-Net structure build chains 7 scatter/gather programs
+    (one `build_table` + three `downsample_coords` dedups + three more
+    `build_table`s), each its own 2*lanes-round dependency chain —
+    measured ~80 ms of the 134 ms forward @32k on v5e against an ~8 ms
+    scatter-rate floor (BASELINE.md roofline), because the cost is CHAIN
+    LATENCY, not rows. Every level's coordinate set is derivable directly
+    from level 0 (floor division composes: unique(c1 // 2^k) equals the
+    iterated per-level dedup), so one combined claim over [sum 2*T_i]
+    rows builds every table — and, via `build_table_dedup`'s rank trick,
+    every coarse coordinate list — in a single 2*lanes-round chain.
+
+    `levels` is a list of (coords [V_i, D], valid [V_i], table_size_i,
+    out_capacity_i). out_capacity None = table-only level (coords assumed
+    pre-deduped; row values are input rows, `build_table` semantics);
+    an int K = dedup level (`build_table_dedup` semantics: row values are
+    winner ranks, a compacted [K, D] coord list is emitted). Returns
+    (tables, outs): per-level HashTable list (feed `lookup_grouped_ragged`
+    in the same order) and per-level (out_coords, out_valid) | None.
+
+    Truncation caveat (same as build_table_dedup / the fused pyramid):
+    under coarse-level overflow the kept subset is claim-order, not
+    lexicographic, and dedup levels quantized straight from level 0 may
+    keep a different subset than iterated per-level dedup. Realistic
+    LiDAR occupancy stays well under the level capacities
+    (scripts/forward_build_ab.py measures this).
+    """
+    Ts, bases, acc = [], [], 0
+    for _, _, table_size, _ in levels:
+        assert table_size & (table_size - 1) == 0, "table_size must be 2^k"
+        assert lanes & (lanes - 1) == 0 and table_size >= lanes
+        Ts.append(table_size // lanes)
+        bases.append(acc)
+        acc += 2 * (table_size // lanes)
+    R = acc
+    d = levels[0][0].shape[1]
+    r1s, r2s = [], []
+    for (coords, _, _, _), T, base in zip(levels, Ts, bases):
+        assert coords.shape[1] == d
+        mask = jnp.int32(T - 1)
+        r1s.append(base + _h1(coords, mask))
+        r2s.append(base + T + _h2(coords, mask))
+    coords_all = jnp.concatenate([lv[0] for lv in levels])
+    valid_all = jnp.concatenate([lv[1] for lv in levels])
+    row1 = jnp.concatenate(r1s)
+    row2 = jnp.concatenate(r2s)
+    inserts, slot, lane_of, flagged_key, _ = _claim_rounds_rows(
+        coords_all, valid_all, row1, row2, R, lanes
+    )
+    # per-level row values + dedup outputs (static slices: V_i are static)
+    rowvals_parts, outs = [], []
+    ofs = 0
+    for coords, _, _, out_capacity in levels:
+        vi = coords.shape[0]
+        ins_i = inserts[ofs:ofs + vi]
+        if out_capacity is None:
+            rowvals_parts.append(jnp.arange(vi, dtype=jnp.int32))
+            outs.append(None)
+        else:
+            rank = jnp.cumsum(ins_i.astype(jnp.int32)) - 1
+            keep = ins_i & (rank < out_capacity)
+            write = jnp.where(keep, rank, out_capacity)
+            out_coords = jnp.zeros(
+                (out_capacity, d), jnp.int32
+            ).at[write].set(coords, mode="drop")
+            count = jnp.sum(ins_i.astype(jnp.int32))
+            out_valid = jnp.arange(out_capacity) < jnp.minimum(
+                count, out_capacity
+            )
+            rowvals_parts.append(jnp.where(keep, rank, _EMPTY))
+            outs.append((out_coords, out_valid))
+        ofs += vi
+    flat = _materialize_rows(
+        coords_all, inserts, slot, lane_of, row1, flagged_key,
+        jnp.concatenate(rowvals_parts), R, lanes,
+    )
+    tables = [
+        HashTable(flat[base:base + 2 * T], jnp.int32(T - 1))
+        for base, T in zip(bases, Ts)
+    ]
+    return tables, outs
+
+
 def _resolve(entries, query, lanes, d):
     """Match query coords against a gathered bucket row. [-1 where absent]."""
     ee = entries.reshape(entries.shape[:-1] + (lanes, d + 1))

@@ -84,6 +84,11 @@ def main():
                                 dedup_build=False, grouped_lookup=True)),
             ("dedup+grp", dict(fused_build=False, pallas_build=False,
                                dedup_build=True, grouped_lookup=True)),
+            # combined ragged claim build (round 4): one 8-round chain for
+            # all four tables + coarse coord lists
+            ("comb+grp", dict(fused_build=False, pallas_build=False,
+                              dedup_build=False, combined_build=True,
+                              grouped_lookup=True)),
         ):
             model = ResUNetBN2C(**kw)
             params = model.init(jax.random.PRNGKey(0), st, train=False)
@@ -95,7 +100,7 @@ def main():
         f_ref = np.asarray(outs["fused"].feats)
         vmask = np.asarray(outs["fused"].valid)
         for mode in ("serial", "pallas", "dedup", "serial+grp",
-                     "dedup+grp"):
+                     "dedup+grp", "comb+grp"):
             f = np.asarray(outs[mode].feats)
             d = np.abs(f - f_ref)[vmask].max() if vmask.any() else 0.0
             scale = np.abs(f_ref[vmask]).max()

@@ -344,6 +344,100 @@ class TestDedupStructureBuild:
             )
 
 
+class TestCombinedStructureBuild:
+    """combined_build: one claim-round chain builds all four tables + all
+    coarse coordinate lists (sparse/hashtable.build_tables_ragged). Same
+    row-order caveat as dedup_build: coarse order is claim order, level-0
+    order (the public feature order) is unchanged, sparse conv is
+    row-order invariant."""
+
+    def test_combined_build_matches_serialized(self, rng):
+        x = make_input(rng, n_pts=2500, cap=2048)
+        kw = dict(compute_dtype=None, fused_build=False,
+                  level_capacity_div=(1, 1, 1, 1))
+        comb = ResUNetBN2C(combined_build=True, **kw)
+        serial = ResUNetBN2C(combined_build=False, **kw)
+        params = comb.init(jax.random.PRNGKey(0), x, train=False)
+        o1 = comb.apply(params, x, train=False)
+        o2 = serial.apply(params, x, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(o1.valid), np.asarray(o2.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-5
+        )
+
+    def test_combined_build_matches_serialized_dim6(self, rng):
+        coords6 = np.unique(
+            rng.integers(-12, 12, (400, 6)).astype(np.int32), axis=0
+        )
+        cap, n = 512, len(coords6)
+        full = np.concatenate(
+            [coords6, np.full((cap - n, 6), 2**20, np.int32)]
+        )
+        valid = jnp.asarray(np.arange(cap) < n)
+        feats = jnp.ones((cap, 1), jnp.float32) * valid[:, None]
+        x = SparseTensor(jnp.asarray(full), feats, valid, 1)
+        kw = dict(dim=6, out_channels=1, conv1_kernel_size=3,
+                  normalize_feature=False, compute_dtype=None,
+                  fused_build=False, level_capacity_div=(1, 1, 1, 1))
+        comb = ResUNetBN2C(combined_build=True, **kw)
+        serial = ResUNetBN2C(combined_build=False, **kw)
+        params = comb.init(jax.random.PRNGKey(0), x, train=False)
+        o1 = comb.apply(params, x, train=False)
+        o2 = serial.apply(params, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-5
+        )
+
+    def test_combined_build_grad_matches(self, rng):
+        x = make_input(rng, n_pts=1200, cap=1024)
+        kw = dict(compute_dtype=None, fused_build=False,
+                  level_capacity_div=(1, 1, 1, 1))
+        comb = ResUNetBN2C(combined_build=True, **kw)
+        serial = ResUNetBN2C(combined_build=False, **kw)
+        params = comb.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(m):
+            def f(p):
+                o = m.apply(p, x, train=False)
+                return jnp.sum(
+                    jnp.where(o.valid[:, None], o.feats, 0.0) ** 2
+                )
+            return f
+
+        g1 = jax.grad(loss(comb))(params)
+        g2 = jax.grad(loss(serial))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+            )
+
+    def test_combined_build_stride2_input(self, rng):
+        """A stride-2 input tensor (DGR runs the inlier net at stride 1,
+        but level quantization must respect x.stride in general)."""
+        c = np.unique(
+            (rng.integers(-30, 30, (600, 3)) * 2).astype(np.int32), axis=0
+        )
+        cap, n = 1024, len(c)
+        full = np.concatenate([c, np.full((cap - n, 3), 2**20, np.int32)])
+        valid = jnp.asarray(np.arange(cap) < n)
+        feats = (jnp.asarray(
+            rng.normal(size=(cap, 1)).astype(np.float32)) * valid[:, None])
+        x = SparseTensor(jnp.asarray(full), feats, valid, 2)
+        kw = dict(compute_dtype=None, fused_build=False,
+                  level_capacity_div=(1, 1, 1, 1))
+        comb = ResUNetBN2C(combined_build=True, **kw)
+        serial = ResUNetBN2C(combined_build=False, **kw)
+        params = comb.init(jax.random.PRNGKey(0), x, train=False)
+        o1 = comb.apply(params, x, train=False)
+        o2 = serial.apply(params, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(o1.feats), np.asarray(o2.feats), atol=1e-5
+        )
+
+
 class TestGroupedLookupRagged:
     def test_grouped_lookup_forward_parity(self, rng):
         """grouped_lookup=True (one ragged probe over per-level tables) must

@@ -720,3 +720,100 @@ class TestLookupGroupedRagged:
             np.testing.assert_array_equal(
                 np.asarray(g), np.asarray(lookup(tables[lvl], q))
             )
+
+
+class TestBuildTablesRagged:
+    """build_tables_ragged: ALL per-level tables + coarse coord lists from
+    ONE combined set of claim rounds (hashtable.py)."""
+
+    def test_matches_individual_builds(self, rng):
+        """Each combined-built table answers lookups identically to a
+        table built alone; dedup levels list the same coordinate SETS as
+        build_table_dedup (order may differ: claim order depends on the
+        bucket space)."""
+        from lidarreg.sparse.hashtable import (
+            build_table_dedup,
+            build_tables_ragged,
+            lookup,
+        )
+
+        V = 2048
+        c0 = np.unique(
+            rng.integers(-60, 60, (V, 3)).astype(np.int32), axis=0
+        )
+        full = np.zeros((V, 3), np.int32)
+        full[: len(c0)] = c0
+        c1 = jnp.asarray(full)
+        v1 = jnp.asarray(np.arange(V) < len(c0))
+        q2 = (c1 // 2) * 2
+        q4 = (c1 // 4) * 4
+        tables, outs = build_tables_ragged([
+            (c1, v1, 32768, None),
+            (q2, v1, 16384, 1024),
+            (q4, v1, 8192, 512),
+        ])
+        assert outs[0] is None
+        # level 0: every valid coord findable at its own row
+        rows = np.asarray(lookup(tables[0], c1))
+        vm = np.asarray(v1)
+        np.testing.assert_array_equal(rows[vm], np.arange(V)[vm])
+        # dedup levels: same sets as the standalone dedup build; each
+        # listed coord findable at its own row in the combined-built table
+        for tab, (oc, ov), q, size, capk in (
+            (tables[1], outs[1], q2, 16384, 1024),
+            (tables[2], outs[2], q4, 8192, 512),
+        ):
+            _, ref_c, ref_v = build_table_dedup(q, v1, size, capk)
+            got = set(map(tuple, np.asarray(oc)[np.asarray(ov)]))
+            want = set(map(tuple, np.asarray(ref_c)[np.asarray(ref_v)]))
+            assert got == want
+            n = int(np.asarray(ov).sum())
+            found = np.asarray(lookup(tab, oc[:n]))
+            np.testing.assert_array_equal(found, np.arange(n))
+        # misses stay misses across every level
+        absent = jnp.asarray([[401, 0, 0], [0, 403, 1]], jnp.int32)
+        for tab in tables:
+            assert np.all(np.asarray(lookup(tab, absent)) == -1)
+
+    def test_grouped_ragged_probe_over_combined_tables(self, rng):
+        from lidarreg.sparse.hashtable import (
+            build_tables_ragged,
+            lookup,
+            lookup_grouped_ragged,
+        )
+
+        V = 1024
+        c0 = np.unique(
+            rng.integers(-40, 40, (V, 3)).astype(np.int32), axis=0
+        )
+        full = np.zeros((V, 3), np.int32)
+        full[: len(c0)] = c0
+        c1 = jnp.asarray(full)
+        v1 = jnp.asarray(np.arange(V) < len(c0))
+        tables, _ = build_tables_ragged([
+            (c1, v1, 16384, None),
+            ((c1 // 2) * 2, v1, 8192, 512),
+        ])
+        queries = [
+            (0, jnp.asarray(
+                rng.integers(-45, 45, (5, 100, 3)).astype(np.int32))),
+            (1, (jnp.asarray(
+                rng.integers(-45, 45, (300, 3)).astype(np.int32)) // 2) * 2),
+        ]
+        got = lookup_grouped_ragged(tables, queries)
+        for (lvl, q), g in zip(queries, got):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(lookup(tables[lvl], q))
+            )
+
+    def test_all_invalid(self, rng):
+        from lidarreg.sparse.hashtable import build_tables_ragged, lookup
+
+        c = jnp.asarray(rng.integers(-8, 8, (256, 3)).astype(np.int32))
+        v = jnp.zeros(256, bool)
+        tables, outs = build_tables_ragged([
+            (c, v, 4096, None), ((c // 2) * 2, v, 4096, 128),
+        ])
+        assert not bool(np.asarray(outs[1][1]).any())
+        for tab in tables:
+            assert np.all(np.asarray(lookup(tab, c)) == -1)

@@ -491,15 +491,19 @@ def main(argv=None):
         vm = val_metric(state)
         tee(f"epoch {epoch} val_metric {vm:.4f}")
         metrics_log.log(gstep, val_metric=vm)
+        # The DGR inlier net's 6-D convs carry 3^6-point stencils (~944 MB
+        # of f32 params); store those checkpoints bf16 (params stay f32 in
+        # memory — load_variables upcasts).
+        bf16 = args.model == "dgr"
         save_variables(
             os.path.join(outdir, f"model_{epoch}.msgpack"), params_of(state),
-            config=vars(args),
+            config=vars(args), store_bf16=bf16,
         )
         if vm > best:
             best = vm
             save_variables(
                 os.path.join(outdir, "model_best.msgpack"), params_of(state),
-                config=vars(args),
+                config=vars(args), store_bf16=bf16,
             )
     tee(f"done; best val metric {best:.4f}; outputs in {outdir}")
     return outdir

@@ -10,8 +10,10 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
-from ..core.kabsch import rigid_transform_3d
+from ..core.kabsch import rigid_transform_3d, weighted_kabsch
+from ..core.se3 import integrate, transform
 
 
 class ContextNorm(nn.Module):
@@ -64,6 +66,7 @@ class OANet(nn.Module):
     num_channels: int = 128
     num_layers: int = 6
     clusters: int = 500
+    inlier_threshold: float = 1.2
 
     @nn.compact
     def __call__(self, data, train: bool = False):
@@ -88,5 +91,43 @@ class OANet(nn.Module):
         logits = nn.Dense(1)(x)[..., 0]   # [B, N]
         weights = nn.relu(nn.tanh(logits))
         trans = rigid_transform_3d(src, tgt, weights)
+        if not train:
+            trans = self.post_refinement(trans, src, tgt, weights)
         return {"final_trans": trans, "final_labels": logits,
                 "weights": weights}
+
+    def post_refinement(self, initial_trans, src_keypts, tgt_keypts, prior):
+        """Annealed IRLS over the classifier's inlier prior (eval only).
+
+        One weighted Kabsch over relu(tanh(logits)) cannot survive the
+        benchmark operating point: the classifier runs at ~0.4 precision
+        on ~25%-inlier correspondence sets, so >half the weighted mass is
+        outliers and the direct regression lands meters off (rotation is
+        near-correct, translation is not). The reference's own OANet head
+        is dead code (Experiments/models/OANet.py:158 returns before it),
+        so the eval protocol here follows PointDSC's post_refinement
+        (PointDSC.py:403-438) with a GNC-style annealed threshold: start
+        at 16x the inlier radius (capturing the meters-off initial pose),
+        tighten 2x every other round to 1x, then polish. The classifier
+        prior multiplies the Cauchy weight throughout, so the learned
+        signal — not geometry alone — steers which consensus basin wins.
+        """
+        thr_final = self.inlier_threshold
+
+        def body(k, trans):
+            # 16x -> 1x over 8 rounds, then 12 polish rounds at 1x
+            thr = thr_final * jnp.maximum(2.0 ** (4.0 - 0.5 * k), 1.0)
+            warped = transform(src_keypts, trans)
+            L2 = jnp.sqrt(
+                jnp.sum((warped - tgt_keypts) ** 2, axis=-1) + 1e-12
+            )  # [B, N]
+            inlier = L2 < thr
+            w = prior * (1.0 / (1.0 + (L2 / thr) ** 2)) * inlier
+            n_in = jnp.sum(inlier & (prior > 0.0), axis=-1)  # [B]
+            R, t = weighted_kabsch(src_keypts, tgt_keypts, w, method="jacobi")
+            new = integrate(R, t)
+            # keep previous transform for degenerate (<3 inliers) batches
+            good = (n_in >= 3)[:, None, None]
+            return jnp.where(good, new, trans)
+
+        return lax.fori_loop(0, 20, body, initial_trans)

@@ -73,6 +73,38 @@ class TestOANet:
         ok, _, _ = registration_success(out["final_trans"][0], jnp.asarray(T))
         assert bool(ok)
 
+    def test_post_refinement_recovers_from_low_precision_prior(self, rng):
+        """The eval-path annealed IRLS must recover the pose from (a) a
+        meters-off initial transform and (b) an inlier prior at ~0.5
+        precision on a 25%-inlier correspondence set — the operating point
+        where the raw weighted-Kabsch head fails (BASELINE.md round-3/4
+        OANet rows)."""
+        from lidarreg.models.oanet import OANet
+        from lidarreg.core import registration_success
+        from lidarreg.core.se3 import euler_to_rotation, integrate, transform
+
+        n = 1024
+        R = euler_to_rotation(jnp.asarray([0.05, -0.1, 0.3]))
+        T = integrate(R, jnp.asarray([5.0, 3.0, 1.0]))
+        src = jnp.asarray(rng.uniform(-30, 30, (1, n, 3)).astype(np.float32))
+        inl = jnp.asarray((rng.uniform(size=n) < 0.25))  # ~25% inliers
+        tgt_in = transform(src, T) + jnp.asarray(
+            rng.normal(0, 0.05, (1, n, 3)).astype(np.float32))
+        tgt_out = jnp.asarray(rng.uniform(-30, 30, (1, n, 3)).astype(np.float32))
+        tgt = jnp.where(inl[None, :, None], tgt_in, tgt_out)
+        # classifier-like prior: recall 0.9 on inliers, enough false
+        # positives to pull precision down to ~0.5
+        hit = jnp.asarray(rng.uniform(size=n) < 0.9)
+        fp = jnp.asarray(rng.uniform(size=n) < 0.3)
+        prior = ((inl & hit) | (~inl & fp)).astype(jnp.float32)[None]
+        prec = float(jnp.sum(prior[0] * inl) / jnp.sum(prior[0]))
+        assert 0.4 < prec < 0.65, prec
+
+        model = OANet(inlier_threshold=1.2)
+        out = model.post_refinement(jnp.eye(4)[None], src, tgt, prior)
+        ok, re_deg, te = registration_success(out[0], T)
+        assert bool(ok), (float(re_deg), float(te))
+
 
 class TestRefinementAnalysis:
     def test_format(self):

@@ -38,6 +38,7 @@ from ..sparse.conv import (
     prune_kernel_map,
     stride1_queries,
     table_for,
+    up_map_from_fine,
 )
 from ..sparse.hashtable import (
     HashTable,
@@ -257,17 +258,39 @@ class ResUNetBN2C(nn.Module):
     grouped_lookup: bool = (
         os.environ.get("LIDARREG_GROUPED_LOOKUP", "1") == "1"
     )
+    # Claim-round schedule (side1_rounds, side2_rounds) for every hash
+    # table of the structure build. Default (4, 2): side-1 stays
+    # EXHAUSTIVE — reducing it (the (3, 2) schedule) spills early keys to
+    # side 2 and inflates the overflow-flag population ~20x (39 vs 2
+    # flagged buckets on the 65k gate scene), which saturates the grouped
+    # probe's block-compacted retry pool and silently mis-resolves
+    # neighbors (184 wrong kernel-map rows -> 0.31 feature delta @65k;
+    # round-5 root-cause, BASELINE.md round-5 build section; the exact
+    # failure mode ADVICE r4 item 1 warned about). Side-2 at 2 rounds is
+    # exact: side-2 holds only the truly-overflowed keys (~1e-5 of keys
+    # at the factor-16 sizing), so >2 colliding in one side-2 bucket is
+    # ~impossible, and tests/test_fcgf.py pins grouped-probe parity at
+    # the pair-batched 65k. LIDARREG_BUILD_ROUNDS=4,4 restores the fully
+    # exhaustive schedule.
+    build_rounds: tuple = tuple(
+        int(t) for t in os.environ.get(
+            "LIDARREG_BUILD_ROUNDS", "4,2"
+        ).split(",")
+    )
 
-    @nn.compact
-    def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
-        CH, TR = self.channels, self.tr_channels
-        # reduced precision is an INFERENCE optimization: training keeps f32
-        # end-to-end (bf16 backward pass loses the gradient signal when
-        # activations degenerate, e.g. isolated voxels + constant features)
-        cdt = None if train else self.compute_dtype
+    def build_structures(self, x: SparseTensor):
+        """Hash tables + kernel maps for every U-Net level — the pure
+        int/bool "coordinate manager" half of the forward (what ME builds
+        in its C++ coordinate manager; Experiments/misc/fcgf.py:229-798
+        usage). A pure function of (coords, valid, stride) and the module
+        CONFIG — no parameters, no flax state — so callers may dispatch it
+        as its OWN jitted program and pass the result to `__call__` via
+        `structures=`; `structures=None` builds inline (same numerics,
+        one program). Returns a pytree dict of level valids + kernel maps
+        (+ the pruning drop count for dim >= 6 nets).
+        """
         cap = x.capacity
         caps = [max(256, cap // d) for d in self.level_capacity_div]
-        bm = self.bn_momentum
         s = x.stride
 
         # ---- coordinate sets, tables, kernel maps (once per level) ------ #
@@ -316,7 +339,8 @@ class ResUNetBN2C(nn.Module):
             pcs, pvs = zip(*(padto(c, v) for c, v in
                              ((c1, v1), (c2, v2), (c4, v4), (c8, v8))))
             tabs, _ = jax.vmap(
-                lambda c, v: build_table(c, v, size)
+                lambda c, v: build_table(c, v, size, rounds=self.build_rounds,
+                                         unique_coords=True)
             )(jnp.stack(pcs), jnp.stack(pvs))
             t1, t2, t4, t8 = (
                 HashTable(tabs.table[i], tabs.mask[i]) for i in range(4)
@@ -326,6 +350,11 @@ class ResUNetBN2C(nn.Module):
             # coordinate lists; per-level table sizing kept (table_factor
             # 16, as mk_table below)
             def size_of(capacity):
+                # sized on the INPUT row count (here every level quantizes
+                # straight from level 0), not out_capacity: unique keys
+                # beyond out_capacity still consume lanes, so V-based
+                # sizing is what keeps the bucket load <= 0.25 that the
+                # lookup's default retry pool assumes (round-4 ADVICE 1)
                 size = 1
                 while size < 16 * capacity:
                     size *= 2
@@ -333,31 +362,39 @@ class ResUNetBN2C(nn.Module):
 
             (t1, t2, t4, t8), louts = build_tables_ragged([
                 (c1, v1, size_of(cap), None),
-                ((c1 // (2 * s)) * (2 * s), v1, size_of(caps[1]), caps[1]),
-                ((c1 // (4 * s)) * (4 * s), v1, size_of(caps[2]), caps[2]),
-                ((c1 // (8 * s)) * (8 * s), v1, size_of(caps[3]), caps[3]),
-            ])
+                ((c1 // (2 * s)) * (2 * s), v1, size_of(cap), caps[1]),
+                ((c1 // (4 * s)) * (4 * s), v1, size_of(cap), caps[2]),
+                ((c1 // (8 * s)) * (8 * s), v1, size_of(cap), caps[3]),
+            ], rounds=self.build_rounds)
             (c2, v2), (c4, v4), (c8, v8) = louts[1], louts[2], louts[3]
         elif self.dedup_build:
-            t1 = table_for(x)
+            t1 = table_for(x, rounds=self.build_rounds, unique_coords=True)
 
             def dedup_level(coords, valid, s2, capacity):
-                # per-side entries at table_factor 16 on the level CAPACITY
-                # (same sizing as the sort path's mk_table): bucket load is
-                # bounded by unique keys <= capacity, so the 1-probe
-                # lookup's retry path fires ~never; duplicate quantized
-                # parents drain via dup_served without consuming lanes
+                # per-side entries at table_factor 16 on the INPUT row
+                # count (not the level capacity): unique quantized parents
+                # can exceed out_capacity under coarse-level overflow, and
+                # dropped winners still consume lanes — V-based sizing
+                # keeps the bucket load <= 0.25 the 1-probe lookup's
+                # default retry pool assumes (round-4 ADVICE item 1).
+                # Duplicate parents drain via dup_served without
+                # consuming lanes.
                 size = 1
-                while size < 16 * capacity:
+                while size < 16 * max(capacity, coords.shape[0]):
                     size *= 2
                 q = (coords // s2) * s2
-                return build_table_dedup(q, valid, size, capacity)
+                return build_table_dedup(
+                    q, valid, size, capacity, rounds=self.build_rounds
+                )
 
             t2, c2, v2 = dedup_level(c1, v1, 2 * s, caps[1])
             t4, c4, v4 = dedup_level(c2, v2, 4 * s, caps[2])
             t8, c8, v8 = dedup_level(c4, v4, 8 * s, caps[3])
         else:
-            t1 = table_for(x)
+            # voxelized level-0 coords and the sort-deduped coarse lists
+            # are distinct by construction -> skip the duplicate-drain
+            # gather in every claim round (hashtable.build_table)
+            t1 = table_for(x, rounds=self.build_rounds, unique_coords=True)
             c2, v2 = downsample_coords(c1, v1, s, caps[1])
             c4, v4 = downsample_coords(c2, v2, 2 * s, caps[2])
             c8, v8 = downsample_coords(c4, v4, 4 * s, caps[3])
@@ -368,7 +405,10 @@ class ResUNetBN2C(nn.Module):
                 size = 1
                 while size < 16 * capacity:
                     size *= 2
-                table, _ = build_table(coords, valid, size)
+                table, _ = build_table(
+                    coords, valid, size, rounds=self.build_rounds,
+                    unique_coords=True,
+                )
                 return table
 
             t2 = mk_table(c2, v2, caps[1])
@@ -384,14 +424,17 @@ class ResUNetBN2C(nn.Module):
             # stride-1 maps + three fine-side down maps — in ONE
             # lookup_grouped call: one gather program, one retry pool
             # (sparse/hashtable.py), instead of 7 serialized lookups
+            dq1, dj1 = down_queries(c1, s)
+            dq2, dj2 = down_queries(c2, 2 * s)
+            dq4, dj4 = down_queries(c4, 4 * s)
             items = [
                 (0, stride1_queries(c1, offs1)),
                 (1, stride1_queries(c2, offs2)),
                 (2, stride1_queries(c4, offs4)),
                 (3, stride1_queries(c8, offs8)),
-                (1, down_queries(c1, s)[0]),
-                (2, down_queries(c2, 2 * s)[0]),
-                (3, down_queries(c4, 4 * s)[0]),
+                (1, dq1),
+                (2, dq2),
+                (3, dq4),
             ]
             if use_pallas or self.fused_build:
                 rows = lookup_grouped(tabs, items)
@@ -410,6 +453,13 @@ class ResUNetBN2C(nn.Module):
                 t4, c2, v2, c4.shape[0], 2 * s, o_row=rows[5])
             km_d48 = kernel_map_down(
                 t8, c4, v4, c8.shape[0], 4 * s, o_row=rows[6])
+            # conv_tr (up) maps packed straight from the SAME fine-side
+            # candidate lists — 2^dim update rows per fine voxel instead
+            # of inverting the [3^dim, Vc] down map (sparse/conv.py
+            # up_map_from_fine; round-5, ~1.5M fewer scatter rows @32k)
+            km_u21 = up_map_from_fine(rows[4], dj1, v1)
+            km_u42 = up_map_from_fine(rows[5], dj2, v2)
+            km_u84 = up_map_from_fine(rows[6], dj4, v4)
         else:
             km1_c1 = kernel_map_stride1(t1, v1, c1, offs1)
             km2 = kernel_map_stride1(t2, v2, c2, offs2)
@@ -421,6 +471,7 @@ class ResUNetBN2C(nn.Module):
             km_d12 = kernel_map_down(t2, c1, v1, c2.shape[0], s)
             km_d24 = kernel_map_down(t4, c2, v2, c4.shape[0], 2 * s)
             km_d48 = kernel_map_down(t8, c4, v4, c8.shape[0], 4 * s)
+            km_u21 = km_u42 = km_u84 = None
         if self.conv1_kernel_size > 3:
             # the 3^dim offsets are a subset of the conv1 kernel's offsets at
             # the same stride, so the L1-blocks map is a row-slice of km1_c1
@@ -441,14 +492,15 @@ class ResUNetBN2C(nn.Module):
             km1 = km1_c1                  # k3 stem: blocks share the map
         # conv_tr (up) maps are exact inversions of the down maps — J
         # set-scatters instead of a J x V hash-lookup pass (sparse/conv.py
-        # invert_kernel_map)
-        km_u84 = invert_kernel_map(km_d48, c4.shape[0])
-        km_u42 = invert_kernel_map(km_d24, c2.shape[0])
-        km_u21 = invert_kernel_map(km_d12, c1.shape[0])
+        # invert_kernel_map); the grouped path already packed them from
+        # the fine side above (up_map_from_fine)
+        if km_u84 is None:
+            km_u84 = invert_kernel_map(km_d48, c4.shape[0])
+            km_u42 = invert_kernel_map(km_d24, c2.shape[0])
+            km_u21 = invert_kernel_map(km_d12, c1.shape[0])
 
+        dropped = []
         if self.dim >= 6 and self.prune_offsets:
-            dropped = []
-
             def pk(m):
                 pm = prune_kernel_map(
                     m, self.prune_offsets, self.prune_tail_cap
@@ -463,15 +515,44 @@ class ResUNetBN2C(nn.Module):
             km2, km4, km8 = pk(km2), pk(km4), pk(km8)
             km_d12, km_d24, km_d48 = pk(km_d12), pk(km_d24), pk(km_d48)
             km_u84, km_u42, km_u21 = pk(km_u84), pk(km_u42), pk(km_u21)
-            if dropped and not self.is_initializing():
-                # tail hits beyond prune_tail_cap are DROPPED from the conv
-                # (silent accuracy loss); surface the count so callers can
-                # detect it — apply with mutable=["diagnostics"] to read
-                # (solvers/dgr.py threads it into DGRResult.prune_overflow)
-                self.sow(
-                    "diagnostics", "prune_tail_dropped",
-                    sum(dropped, jnp.int32(0)),
-                )
+
+        return {
+            "v2": v2, "v4": v4, "v8": v8,
+            "km1_c1": km1_c1, "km1": km1, "km2": km2, "km4": km4,
+            "km8": km8, "km_d12": km_d12, "km_d24": km_d24,
+            "km_d48": km_d48, "km_u84": km_u84, "km_u42": km_u42,
+            "km_u21": km_u21,
+            "prune_tail_dropped": (
+                sum(dropped, jnp.int32(0)) if dropped else None
+            ),
+        }
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, train: bool = False,
+                 structures=None) -> SparseTensor:
+        CH, TR = self.channels, self.tr_channels
+        # reduced precision is an INFERENCE optimization: training keeps f32
+        # end-to-end (bf16 backward pass loses the gradient signal when
+        # activations degenerate, e.g. isolated voxels + constant features)
+        cdt = None if train else self.compute_dtype
+        bm = self.bn_momentum
+        if structures is None:
+            structures = self.build_structures(x)
+        c1, v1 = x.coords, x.valid
+        v2, v4, v8 = structures["v2"], structures["v4"], structures["v8"]
+        km1_c1, km1 = structures["km1_c1"], structures["km1"]
+        km2, km4, km8 = structures["km2"], structures["km4"], structures["km8"]
+        km_d12, km_d24 = structures["km_d12"], structures["km_d24"]
+        km_d48 = structures["km_d48"]
+        km_u84, km_u42 = structures["km_u84"], structures["km_u42"]
+        km_u21 = structures["km_u21"]
+        ptd = structures.get("prune_tail_dropped")
+        if ptd is not None and not self.is_initializing():
+            # tail hits beyond prune_tail_cap are DROPPED from the conv
+            # (silent accuracy loss); surface the count so callers can
+            # detect it — apply with mutable=["diagnostics"] to read
+            # (solvers/dgr.py threads it into DGRResult.prune_overflow)
+            self.sow("diagnostics", "prune_tail_dropped", ptd)
 
         # ---- encoder ----------------------------------------------------- #
         no = lambda k: k**self.dim  # noqa: E731
@@ -533,7 +614,7 @@ class ResUNetBN2C(nn.Module):
             norm = jnp.sqrt(jnp.sum(out * out, axis=1, keepdims=True) + 1e-16)
             out = out / (norm + 1e-8)
             out = out * v1[:, None]
-        return SparseTensor(c1, out, v1, s)
+        return SparseTensor(c1, out, v1, x.stride)
 
 
 def ResUNetBN2(**kw):

@@ -106,13 +106,21 @@ def prune_kernel_map(
     )
 
 
-def table_for(x: SparseTensor, table_factor: int = 16) -> HashTable:
+def table_for(
+    x: SparseTensor,
+    table_factor: int = 16,
+    rounds: tuple[int, int] | None = None,
+    unique_coords: bool = False,
+) -> HashTable:
     # per-side entries; factor 16 => bucket load 0.25 at 4 lanes, so the
-    # single-probe lookup's side-2 retry path fires ~never (hashtable.py)
+    # single-probe lookup's side-2 retry path fires ~never (hashtable.py).
+    # unique_coords=True (voxelized coordinate lists) skips the duplicate-
+    # drain gather each claim round (hashtable.build_table).
     size = 1
     while size < table_factor * x.capacity:
         size *= 2
-    table, _ = build_table(x.coords, x.valid, size)
+    table, _ = build_table(x.coords, x.valid, size, rounds=rounds,
+                           unique_coords=unique_coords)
     return table
 
 
@@ -270,6 +278,41 @@ def kernel_map_down(
             jnp.broadcast_to(rows_i, (1 << d, vi)).ravel(), mode="drop"
         )
         .reshape(J, n_out)
+    )
+    return KernelMap(jnp.maximum(packed, 0), packed >= 0)
+
+
+def up_map_from_fine(
+    o_row: jnp.ndarray,      # [2^d, Vi] coarse row per candidate parent
+    j_idx: jnp.ndarray,      # [2^d, Vi] offset index (down_queries)
+    in_valid: jnp.ndarray,   # [Vi] fine-voxel validity
+    kernel_size: int = 3,
+) -> KernelMap:
+    """Transpose-conv kernel map scattered from the FINE side.
+
+    `invert_kernel_map` scatters J * Vc update rows (27x the coarse count
+    in 3-D) of which only the hits survive; but the down map's fine-side
+    candidate data (down_queries + the grouped probe) already lists every
+    (offset, parent) pair per fine voxel — at most 2^d per voxel. Packing
+    the up map [J, Vi] directly from that list is the same one-scatter
+    trick at 8/27ths the update rows (round-5: ~2.2M -> 0.64M scatter rows
+    per forward @32k). Offset j of the down pair becomes J-1-j for the
+    transpose (offset negation reverses the hypercube enumeration).
+    Bit-identical to `invert_kernel_map(kernel_map_down(...), Vi)`
+    (tests/test_sparse.py parity).
+    """
+    assert kernel_size == 3, "derivation assumes radius-1 stencils"
+    two_d, vi = o_row.shape
+    J = 3 ** (two_d.bit_length() - 1)
+    rows_i = jnp.arange(vi, dtype=jnp.int32)
+    ok = (o_row >= 0) & in_valid[None, :]
+    tgt = jnp.where(
+        ok, (J - 1 - j_idx) * vi + rows_i[None, :], J * vi
+    ).ravel()
+    packed = (
+        jnp.full((J * vi,), -1, jnp.int32)
+        .at[tgt].set(o_row.ravel(), mode="drop")
+        .reshape(J, vi)
     )
     return KernelMap(jnp.maximum(packed, 0), packed >= 0)
 

@@ -79,26 +79,45 @@ def build_table(
     valid: jnp.ndarray,
     table_size: int,
     lanes: int = 4,
+    rounds: tuple[int, int] | None = None,
+    unique_coords: bool = False,
 ):
     """Insert valid rows of coords [V, D] (D <= 6).
 
     `table_size` is the per-side ENTRY count (2^k; callers size it >= 4x the
     key count) — per-side buckets T = table_size / lanes.
 
-    INSERTION IS 2*lanes FIXED set-scatter claim rounds (each round claims
-    one key per bucket; XLA set-scatter is deterministic last-wins, so
-    collisions and duplicate coords drain across rounds) — deliberately
-    SORT-FREE: a sort-based build runs marginally faster but every
-    `lax.sort` instance costs minutes of XLA TPU compile through the
-    remote tunnel, and a U-Net forward holds four builds (round-3
-    post-mortem: the sort-based build wedged the compile service).
+    INSERTION IS set-scatter claim rounds (each round claims one key per
+    bucket; XLA set-scatter is deterministic last-wins, so collisions and
+    duplicate coords drain across rounds) — deliberately SORT-FREE: a
+    sort-based build runs marginally faster but every `lax.sort` instance
+    costs minutes of XLA TPU compile through the remote tunnel, and a
+    U-Net forward holds four builds (round-3 post-mortem: the sort-based
+    build wedged the compile service).
     Keys that overflow side 1 land on side 2 and FLAG their side-1 bucket
-    (bit 30 of the last lane's row value) — that flag is what lets
-    `lookup` resolve most queries with a single gather.
+    (bit 30 of the last lane's row value — applied as an elementwise
+    post-pass on the materialized table, so the flag survives even when
+    the last lane itself stays empty) — that flag is what lets `lookup`
+    resolve most queries with a single gather.
+
+    `rounds` = (side1_rounds, side2_rounds); default (lanes, lanes) — the
+    exhaustive schedule. The claim-chain cost is ROW-RATE, not latency
+    (~3 V-row scatter/gathers per round — BASELINE.md round-5 build
+    section), so hot callers at the table_factor-16 sizing (bucket load
+    <= 0.25) pass (3, 2): keys in a side-1 bucket holding > side1_rounds
+    keys spill to side 2 early (exact — the bucket gets flagged), and at
+    load 0.25 the expected spill is ~1e-4 of keys with a ~1e-8 residual
+    drop risk, vs the guaranteed-exhaustive 2*lanes schedule.
 
     Returns (HashTable, placed [V] bool). `placed` means "findable by
     lookup": duplicate coords share ONE lane (grid-NN tables insert many
     points per cell; one survives, as in round 2).
+
+    `unique_coords=True` asserts the valid coords are already distinct
+    (voxelized coordinate lists are, by construction) and skips the
+    duplicate-drain gather+compare — one of the three V-row ops each
+    claim round pays. WRONG RESULTS if duplicates are actually present
+    (>lanes copies of one cell can starve a colliding cell).
     """
     assert table_size & (table_size - 1) == 0, "table_size must be 2^k"
     v, d = coords.shape
@@ -108,33 +127,36 @@ def build_table(
     mask = jnp.int32(T - 1)
     idx = jnp.arange(v, dtype=jnp.int32)
     buckets = (_h1(coords, mask), _h2(coords, mask))
-    inserts, slot, lane_of, flags, unplaced = _claim_rounds(
-        coords, valid, buckets, T, lanes
+    inserts, slot, flags, unplaced = _claim_rounds(
+        coords, valid, buckets, T, lanes, rounds, unique_coords
     )
     placed = valid & ~unplaced
-    tab = _materialize(
-        coords, inserts, slot, lane_of, flags, buckets, idx, T, lanes
-    )
+    tab = _materialize(coords, inserts, slot, flags, idx, T, lanes)
     return HashTable(tab, mask), placed
 
 
-def _claim_rounds(coords, valid, buckets, T: int, lanes: int):
-    """2*lanes set-scatter claim rounds (see `build_table`): exactly one
-    winner lane per unique valid coord; duplicates drain via dup_served."""
+def _claim_rounds(
+    coords, valid, buckets, T: int, lanes: int,
+    rounds: tuple[int, int] | None = None,
+    unique_coords: bool = False,
+):
+    """Set-scatter claim rounds (see `build_table`): exactly one winner
+    lane per unique valid coord; duplicates drain via dup_served."""
+    r1, r2 = rounds or (lanes, lanes)
+    assert 1 <= r1 <= lanes and 1 <= r2 <= lanes, (r1, r2, lanes)
     v = coords.shape[0]
     idx = jnp.arange(v, dtype=jnp.int32)
     unplaced = valid
     inserts = jnp.zeros((v,), bool)            # keys that own a lane
     slot = jnp.zeros((v,), jnp.int32)          # flat lane slot per insert
-    lane_of = jnp.zeros((v,), jnp.int32)       # lane index within bucket
     flags = jnp.zeros((T,), bool)              # side-1 bucket overflowed
-    for side in range(2):
+    for side, n_rounds in ((0, r1), (1, r2)):
         if side == 1:
             # everything still unplaced overflowed its side-1 bucket
             fb = jnp.where(unplaced, buckets[0], T)
             flags = flags.at[fb].set(True, mode="drop")
         row = side * T + buckets[side]
-        for lane in range(lanes):
+        for lane in range(n_rounds):
             wb = jnp.where(unplaced, row, 2 * T)
             claim = jnp.full((2 * T,), -1, jnp.int32).at[wb].set(
                 idx, mode="drop"
@@ -142,8 +164,12 @@ def _claim_rounds(coords, valid, buckets, T: int, lanes: int):
             winner = claim[row]
             win = unplaced & (winner == idx)
             slot = jnp.where(win, row * lanes + lane, slot)
-            lane_of = jnp.where(win, lane, lane_of)
             inserts = inserts | win
+            if unique_coords:
+                # distinct valid coords: the only key a claim can serve is
+                # its winner — skip the duplicate-drain V-row gather
+                unplaced = unplaced & ~win
+                continue
             # a key whose coord was just claimed by a DUPLICATE is served by
             # that lane too — without this, >lanes copies of one cell can
             # monopolize every lane of a bucket and starve a colliding cell
@@ -156,34 +182,37 @@ def _claim_rounds(coords, valid, buckets, T: int, lanes: int):
                 )
             )
             unplaced = unplaced & ~dup_served   # dup_served includes win
-    return inserts, slot, lane_of, flags, unplaced
+    return inserts, slot, flags, unplaced
 
 
-def _materialize(
-    coords, inserts, slot, lane_of, flags, buckets, rowvals, T: int,
-    lanes: int,
-):
-    """One-shot table materialization: flat [2T * lanes * (D+1)] then
-    reshape. Side-1 winners in the LAST lane of a flagged bucket carry the
-    overflow flag in bit 30 of their row value. `rowvals` is the row id
-    each winner stores (`build_table`: its own input row; dedup build: the
-    output rank)."""
+def _apply_flags(tab2d, flag_rows, lanes: int, d: int):
+    """OR the overflow flag into the LAST lane's row-value column of every
+    flagged bucket row — elementwise over the table, no scatter. Works
+    whether or not the last lane holds a winner (an empty slot's _EMPTY
+    value stays absent under `_resolve`'s _ROW_MASK comparison).
+    `flag_rows` is [rows] bool aligned with tab2d (side-2 rows False)."""
+    col = lanes * (d + 1) - 1
+    flagged_col = jnp.where(flag_rows, tab2d[:, col] | _FLAG, tab2d[:, col])
+    return tab2d.at[:, col].set(flagged_col)
+
+
+def _materialize(coords, inserts, slot, flags, rowvals, T: int, lanes: int):
+    """One-shot table materialization: ONE [V]-row 2-D set-scatter of the
+    packed (coords..., rowval) payload (one HBM row transaction per key,
+    vs the previous d+1 column scatters), then the overflow-flag
+    elementwise post-pass (`_apply_flags`). `flags` is [T] bool over
+    side-1 buckets. `rowvals` is the row id each winner stores
+    (`build_table`: its own input row; dedup build: the output rank)."""
     d = coords.shape[1]
     stride = d + 1
-    on_side1 = slot < T * lanes
-    flagged = flags[buckets[0]]
-    rowval = rowvals | jnp.where(
-        inserts & on_side1 & (lane_of == lanes - 1) & flagged, _FLAG, 0
-    )
-    pattern = jnp.concatenate(
-        [jnp.zeros((d,), jnp.int32), _EMPTY[None]]
-    )
-    flat = jnp.tile(pattern, 2 * T * lanes)
-    base = jnp.where(inserts, slot * stride, 2 * T * lanes * stride)
-    for k in range(d):
-        flat = flat.at[base + k].set(coords[:, k], mode="drop")
-    flat = flat.at[base + d].set(rowval, mode="drop")
-    return flat.reshape(2 * T, lanes * stride)
+    pattern = jnp.concatenate([jnp.zeros((d,), jnp.int32), _EMPTY[None]])
+    tab = jnp.broadcast_to(pattern, (2 * T * lanes, stride))
+    target = jnp.where(inserts, slot, 2 * T * lanes)
+    payload = jnp.concatenate([coords, rowvals[:, None]], axis=1)
+    tab = tab.at[target].set(payload, mode="drop")
+    tab2d = tab.reshape(2 * T, lanes * stride)
+    flag_rows = jnp.concatenate([flags, jnp.zeros((T,), bool)])
+    return _apply_flags(tab2d, flag_rows, lanes, d)
 
 
 def build_table_dedup(
@@ -192,6 +221,7 @@ def build_table_dedup(
     table_size: int,
     out_capacity: int,
     lanes: int = 4,
+    rounds: tuple[int, int] | None = None,
 ):
     """Build a table over coords [V, D] THAT MAY CONTAIN DUPLICATES and
     derive the unique-coordinate list from the same claim rounds.
@@ -214,6 +244,13 @@ def build_table_dedup(
     list and the table (lookup returns -1), matching the sort path's
     truncation semantics. Returns (HashTable, out_coords [out_capacity, D],
     out_valid [out_capacity]).
+
+    SIZING CONTRACT: dropped winners still consume lanes (their rows read
+    _EMPTY but the lane is occupied), so `table_size` must be sized on the
+    INPUT row count V — the bound on unique keys — not on `out_capacity`;
+    sizing on a smaller out_capacity under coarse-level overflow can push
+    the bucket load past what `lookup`'s default retry pool assumes
+    (round-4 ADVICE item 1; the FCGF callers size on V).
     """
     assert table_size & (table_size - 1) == 0, "table_size must be 2^k"
     v, d = coords.shape
@@ -222,8 +259,8 @@ def build_table_dedup(
     T = table_size // lanes
     mask = jnp.int32(T - 1)
     buckets = (_h1(coords, mask), _h2(coords, mask))
-    inserts, slot, lane_of, flags, _ = _claim_rounds(
-        coords, valid, buckets, T, lanes
+    inserts, slot, flags, _ = _claim_rounds(
+        coords, valid, buckets, T, lanes, rounds
     )
     rank = jnp.cumsum(inserts.astype(jnp.int32)) - 1
     keep = inserts & (rank < out_capacity)
@@ -235,37 +272,38 @@ def build_table_dedup(
     out_valid = jnp.arange(out_capacity) < jnp.minimum(count, out_capacity)
     # winners past out_capacity still WRITE their lane, with an _EMPTY row
     # value: the lane reads as absent (_resolve masks bit 30 then compares
-    # against _EMPTY) but a last-lane winner's overflow-flag bit survives —
-    # otherwise a dropped last-lane winner would silently orphan every
-    # side-2 resident of its bucket (lookup would miss them while their
-    # rows sit inside out_capacity).
+    # against _EMPTY); the overflow flag is applied as a table post-pass
+    # (_apply_flags), so dropped winners can't orphan side-2 residents.
     tab = _materialize(
-        coords, inserts, slot, lane_of, flags, buckets,
-        jnp.where(keep, rank, _EMPTY), T, lanes
+        coords, inserts, slot, flags, jnp.where(keep, rank, _EMPTY), T, lanes
     )
     return HashTable(tab, mask), out_coords, out_valid
 
 
-def _claim_rounds_rows(coords, valid, row1, row2, R: int, lanes: int):
+def _claim_rounds_rows(
+    coords, valid, row1, row2, R: int, lanes: int,
+    rounds: tuple[int, int] | None = None,
+):
     """Row-space claim rounds: `_claim_rounds` over PRECOMPUTED absolute
     bucket rows (side-1 `row1`, side-2 `row2`) in a combined [R]-row table
     space — the core that lets `build_tables_ragged` build SEVERAL
-    per-level-sized tables in ONE set of 2*lanes rounds. Returns
-    (inserts, slot, lane_of, flagged_key, unplaced); `flagged_key` is
-    per-KEY ("this key's side-1 bucket overflowed")."""
+    per-level-sized tables in ONE set of claim rounds. Returns
+    (inserts, slot, flags, unplaced); `flags` is [R] per-ROW ("this
+    side-1 bucket row overflowed"; side-2 rows stay False)."""
+    r1, r2 = rounds or (lanes, lanes)
+    assert 1 <= r1 <= lanes and 1 <= r2 <= lanes, (r1, r2, lanes)
     v = coords.shape[0]
     idx = jnp.arange(v, dtype=jnp.int32)
     unplaced = valid
     inserts = jnp.zeros((v,), bool)
     slot = jnp.zeros((v,), jnp.int32)
-    lane_of = jnp.zeros((v,), jnp.int32)
     flags = jnp.zeros((R,), bool)
-    for side in range(2):
+    for side, n_rounds in ((0, r1), (1, r2)):
         if side == 1:
             fb = jnp.where(unplaced, row1, R)
             flags = flags.at[fb].set(True, mode="drop")
         row = (row1, row2)[side]
-        for lane in range(lanes):
+        for lane in range(n_rounds):
             wb = jnp.where(unplaced, row, R)
             claim = jnp.full((R,), -1, jnp.int32).at[wb].set(
                 idx, mode="drop"
@@ -273,7 +311,6 @@ def _claim_rounds_rows(coords, valid, row1, row2, R: int, lanes: int):
             winner = claim[row]
             win = unplaced & (winner == idx)
             slot = jnp.where(win, row * lanes + lane, slot)
-            lane_of = jnp.where(win, lane, lane_of)
             inserts = inserts | win
             dup_served = (
                 unplaced
@@ -283,34 +320,26 @@ def _claim_rounds_rows(coords, valid, row1, row2, R: int, lanes: int):
                 )
             )
             unplaced = unplaced & ~dup_served
-    return inserts, slot, lane_of, flags[row1], unplaced
+    return inserts, slot, flags, unplaced
 
 
-def _materialize_rows(
-    coords, inserts, slot, lane_of, row1, flagged_key, rowvals,
-    R: int, lanes: int,
-):
-    """`_materialize` over the combined row space: side-1 membership is
-    "the winning bucket row IS this key's side-1 row" (per-level side
-    halves are disjoint within each level's row span)."""
+def _materialize_rows(coords, inserts, slot, flags, rowvals, R: int,
+                      lanes: int):
+    """`_materialize` over the combined row space: ONE [V]-row 2-D
+    set-scatter + the overflow-flag elementwise post-pass (`flags` is [R]
+    per-row, from `_claim_rounds_rows`)."""
     d = coords.shape[1]
     stride = d + 1
-    on_side1 = (slot // lanes) == row1
-    rowval = rowvals | jnp.where(
-        inserts & on_side1 & (lane_of == lanes - 1) & flagged_key, _FLAG, 0
-    )
-    pattern = jnp.concatenate(
-        [jnp.zeros((d,), jnp.int32), _EMPTY[None]]
-    )
-    flat = jnp.tile(pattern, R * lanes)
-    base = jnp.where(inserts, slot * stride, R * lanes * stride)
-    for k in range(d):
-        flat = flat.at[base + k].set(coords[:, k], mode="drop")
-    flat = flat.at[base + d].set(rowval, mode="drop")
-    return flat.reshape(R, lanes * stride)
+    pattern = jnp.concatenate([jnp.zeros((d,), jnp.int32), _EMPTY[None]])
+    tab = jnp.broadcast_to(pattern, (R * lanes, stride))
+    target = jnp.where(inserts, slot, R * lanes)
+    payload = jnp.concatenate([coords, rowvals[:, None]], axis=1)
+    tab = tab.at[target].set(payload, mode="drop")
+    return _apply_flags(tab.reshape(R, lanes * stride), flags, lanes, d)
 
 
-def build_tables_ragged(levels, lanes: int = 4):
+def build_tables_ragged(levels, lanes: int = 4,
+                        rounds: tuple[int, int] | None = None):
     """Build SEVERAL per-level-sized hash tables in ONE set of 2*lanes
     set-scatter claim rounds over a row-concatenated table space.
 
@@ -359,8 +388,8 @@ def build_tables_ragged(levels, lanes: int = 4):
     valid_all = jnp.concatenate([lv[1] for lv in levels])
     row1 = jnp.concatenate(r1s)
     row2 = jnp.concatenate(r2s)
-    inserts, slot, lane_of, flagged_key, _ = _claim_rounds_rows(
-        coords_all, valid_all, row1, row2, R, lanes
+    inserts, slot, flags, _ = _claim_rounds_rows(
+        coords_all, valid_all, row1, row2, R, lanes, rounds
     )
     # per-level row values + dedup outputs (static slices: V_i are static)
     rowvals_parts, outs = [], []
@@ -386,7 +415,7 @@ def build_tables_ragged(levels, lanes: int = 4):
             outs.append((out_coords, out_valid))
         ofs += vi
     flat = _materialize_rows(
-        coords_all, inserts, slot, lane_of, row1, flagged_key,
+        coords_all, inserts, slot, flags,
         jnp.concatenate(rowvals_parts), R, lanes,
     )
     tables = [

@@ -73,22 +73,48 @@ def main():
             # grouped_lookup pinned False (it is the DEFAULT since the
             # round-4 gate) so these rows keep measuring the plain probes
             ("serial", dict(fused_build=False, pallas_build=False,
-                            dedup_build=False, grouped_lookup=False)),
+                            dedup_build=False, grouped_lookup=False,
+                            build_rounds=(4, 4))),
             ("fused", dict(fused_build=True, pallas_build=False,
-                           dedup_build=False, grouped_lookup=False)),
+                           dedup_build=False, grouped_lookup=False,
+                           build_rounds=(4, 4))),
             ("pallas", dict(fused_build=True, pallas_build=True,
-                            dedup_build=False, grouped_lookup=False)),
+                            dedup_build=False, grouped_lookup=False,
+                            build_rounds=(4, 4))),
             ("dedup", dict(fused_build=False, pallas_build=False,
-                           dedup_build=True, grouped_lookup=False)),
+                           dedup_build=True, grouped_lookup=False,
+                           build_rounds=(4, 4))),
             ("serial+grp", dict(fused_build=False, pallas_build=False,
-                                dedup_build=False, grouped_lookup=True)),
+                                dedup_build=False, grouped_lookup=True,
+                                build_rounds=(4, 4))),
             ("dedup+grp", dict(fused_build=False, pallas_build=False,
-                               dedup_build=True, grouped_lookup=True)),
+                               dedup_build=True, grouped_lookup=True,
+                               build_rounds=(4, 4))),
             # combined ragged claim build (round 4): one 8-round chain for
             # all four tables + coarse coord lists
             ("comb+grp", dict(fused_build=False, pallas_build=False,
                               dedup_build=False, combined_build=True,
-                              grouped_lookup=True)),
+                              grouped_lookup=True, build_rounds=(4, 4))),
+            # round-5 SHIPPED schedule: side-1 exhaustive, side-2 halved
+            # (models/fcgf.py build_rounds docstring)
+            ("serial+grp+r42", dict(fused_build=False, pallas_build=False,
+                                    dedup_build=False, grouped_lookup=True,
+                                    build_rounds=(4, 2))),
+            # round-5 MEASURED-NEGATIVE schedule (kept as the retry-pool
+            # regression's on-chip witness): (3, 2) inflates the overflow
+            # flag population ~20x and saturates the grouped probe's
+            # side-2 retry pool at 65k — 184 wrong rows, 0.31 feature
+            # delta (BASELINE.md round-5 build section)
+            ("serial+grp+r32", dict(fused_build=False, pallas_build=False,
+                                    dedup_build=False, grouped_lookup=True,
+                                    build_rounds=(3, 2))),
+            ("dedup+grp+r32", dict(fused_build=False, pallas_build=False,
+                                   dedup_build=True, grouped_lookup=True,
+                                   build_rounds=(3, 2))),
+            ("comb+grp+r32", dict(fused_build=False, pallas_build=False,
+                                  dedup_build=False, combined_build=True,
+                                  grouped_lookup=True,
+                                  build_rounds=(3, 2))),
         ):
             model = ResUNetBN2C(**kw)
             params = model.init(jax.random.PRNGKey(0), st, train=False)
@@ -100,7 +126,8 @@ def main():
         f_ref = np.asarray(outs["fused"].feats)
         vmask = np.asarray(outs["fused"].valid)
         for mode in ("serial", "pallas", "dedup", "serial+grp",
-                     "dedup+grp", "comb+grp"):
+                     "dedup+grp", "comb+grp", "serial+grp+r42",
+                     "serial+grp+r32", "dedup+grp+r32", "comb+grp+r32"):
             f = np.asarray(outs[mode].feats)
             d = np.abs(f - f_ref)[vmask].max() if vmask.any() else 0.0
             scale = np.abs(f_ref[vmask]).max()

@@ -460,20 +460,55 @@ class TestGroupedLookupRagged:
                 err_msg=f"dedup={dedup}",
             )
 
-    def test_grouped_lookup_is_the_default(self, monkeypatch):
+    def test_grouped_lookup_is_the_default(self):
         """The grouped ragged probe is the shipped default after the
         round-4 on-chip gate (BASELINE.md build A/B); the env var is the
-        escape hatch in BOTH directions."""
-        import importlib
+        escape hatch in BOTH directions. Evaluated in a SUBPROCESS — an
+        importlib.reload here would swap the module's class objects under
+        every already-imported test module (round-4 ADVICE item 3)."""
+        import json
         import os
+        import subprocess
+        import sys
 
-        import lidarreg.models.fcgf as fcgf_mod
+        prog = (
+            "import json, lidarreg.models.fcgf as m;"
+            "print(json.dumps(m.ResUNetBN2C().grouped_lookup))"
+        )
+        for env_val, expect in ((None, True), ("0", False), ("1", True)):
+            env = dict(os.environ)
+            env.pop("LIDARREG_GROUPED_LOOKUP", None)
+            if env_val is not None:
+                env["LIDARREG_GROUPED_LOOKUP"] = env_val
+            out = subprocess.run(
+                [sys.executable, "-c", prog], env=env, capture_output=True,
+                text=True, timeout=300, check=True,
+            )
+            assert json.loads(out.stdout.strip()) is expect, (env_val, out)
 
-        monkeypatch.delenv("LIDARREG_GROUPED_LOOKUP", raising=False)
-        mod = importlib.reload(fcgf_mod)
-        assert mod.ResUNetBN2C().grouped_lookup is True
-        monkeypatch.setenv("LIDARREG_GROUPED_LOOKUP", "0")
-        mod = importlib.reload(fcgf_mod)
-        assert mod.ResUNetBN2C().grouped_lookup is False
-        monkeypatch.delenv("LIDARREG_GROUPED_LOOKUP", raising=False)
-        importlib.reload(fcgf_mod)
+    def test_build_rounds_default_and_escape_hatch(self):
+        """The (4, 2) claim-round schedule is the shipped default after
+        the round-5 gate: side-1 exhaustive (flag population unchanged —
+        the (3, 2) schedule saturated the grouped probe's retry pool,
+        BASELINE.md round-5 build section), side-2 halved.
+        LIDARREG_BUILD_ROUNDS=4,4 restores the exhaustive schedule.
+        Subprocess-evaluated like the grouped-lookup default."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        prog = (
+            "import json, lidarreg.models.fcgf as m;"
+            "print(json.dumps(list(m.ResUNetBN2C().build_rounds)))"
+        )
+        for env_val, expect in ((None, [4, 2]), ("4,4", [4, 4])):
+            env = dict(os.environ)
+            env.pop("LIDARREG_BUILD_ROUNDS", None)
+            if env_val is not None:
+                env["LIDARREG_BUILD_ROUNDS"] = env_val
+            out = subprocess.run(
+                [sys.executable, "-c", prog], env=env, capture_output=True,
+                text=True, timeout=300, check=True,
+            )
+            assert json.loads(out.stdout.strip()) == expect, (env_val, out)

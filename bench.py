@@ -20,7 +20,20 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC = 1.0  # documented assumption, see module docstring
 
 
-def build_pair(rng, n_raw=120_000):
+# The e2e gate spans THREE pairs from the hardest published motion family
+# (~30 deg yaw + ~8 m translation — the tail of the balanced-set motion
+# distribution) instead of one knife-edge pair: at one pair the gate is a
+# coin with unknown bias (VERDICT r4 weak #4; reference protocol is
+# 555-7008 pairs/set with repeat std-dev, FCGF_FAST/test.py:39-82).
+GATE_MOTIONS = (
+    ((1.0, -0.5, 30.0), (8.0, -3.0, 0.2)),    # the historical gate pair
+    ((-0.8, 0.7, -30.0), (-6.0, 6.0, -0.3)),
+    ((0.5, 1.0, 28.0), (9.0, 1.0, 0.4)),
+)
+
+
+def build_pair(rng, n_raw=120_000, ang_deg=GATE_MOTIONS[0][0],
+               t_xyz=GATE_MOTIONS[0][1]):
     """Synthetic LiDAR-like scene pair with known motion.
 
     Same scene family FCGF trains on (data/adapters.synthesize_lidar_scene)
@@ -31,8 +44,8 @@ def build_pair(rng, n_raw=120_000):
     from lidarreg.data.adapters import synthesize_lidar_scene
 
     cloud = synthesize_lidar_scene(rng, n_raw)
-    ang = np.radians([1.0, -0.5, 30.0])
-    t = np.array([8.0, -3.0, 0.2])
+    ang = np.radians(list(ang_deg))
+    t = np.array(list(t_xyz))
     R = np.asarray(euler_to_rotation(jnp.asarray(ang)))
     T = np.eye(4)
     T[:3, :3] = R
@@ -180,6 +193,36 @@ def main():
     note(f"bench: solver streaming {stream_pps:.2f} pairs/sec "
          f"({1000.0 / stream_pps:.1f} ms/pair amortized)")
 
+    # ---- "fast" preset: bf16 feature matching + streaming ----------------
+    # The measured throughput-max configuration (VERDICT r4 item 5): the
+    # round-4 precision ablation shows bf16 matching is recall-identical
+    # (+0.1 cm TE against a 60 cm criterion, -6 ms/pair; BASELINE.md) and
+    # streaming is the production batch protocol. The parity-default
+    # headline above stays `highest`; this row pins what a throughput
+    # deployment gets by flipping FRConfig.match_precision.
+    register_fast = make_fr_register(FRConfig(
+        mode="GPF",
+        iters=cfg.num_hypotheses,
+        voxel_size=VOX,
+        stage1_samples=cfg.stage1_samples,
+        top_k=cfg.top_k,
+        refit_iters=cfg.refit_iters,
+        chunk_size=cfg.chunk_size,
+        match_precision="default",
+    ))
+    rf = register_fast(F0, F1, xyz0, xyz1, va.valid, vb.valid,
+                       jax.random.PRNGKey(42))
+    jax.block_until_ready(rf.transform)
+    ok_f, _, te_f = registration_success(rf.transform, jnp.asarray(T_gt))
+    t0 = time.perf_counter()
+    outs = [register_fast(F0, F1, xyz0, xyz1, va.valid, vb.valid,
+                          jax.random.PRNGKey(300 + i)) for i in range(10)]
+    jax.block_until_ready([o.transform for o in outs])
+    fast_pps = 10.0 / (time.perf_counter() - t0)
+    note(f"bench: fast preset (bf16 match, streaming) {fast_pps:.2f} "
+         f"pairs/sec ({1000.0 / fast_pps:.1f} ms/pair amortized; "
+         f"success={bool(ok_f)}, TE={float(te_f)*100:.1f} cm)")
+
     # ---- end-to-end WITH the real FCGF encoder in the timed path ----------
     # (the reference's "reg time" metric EXCLUDES feature extraction —
     # test.py:105-106 data/model timer split — so the headline above matches
@@ -250,23 +293,50 @@ def main():
     note("bench: compiling e2e (FCGF) path...")
     F0e, r0 = register_e2e(jax.random.PRNGKey(0))
     jax.block_until_ready(r0.transform)
-    t_icp0 = time.perf_counter()
-    T_icp0 = icp_point_to_point(
-        xyz0, F0e.valid[:CAP], xyz1, F0e.valid[CAP:], r0.transform, 0.6, 10
-    )
-    jax.block_until_ready(T_icp0)
-    icp_ms = 1000 * (time.perf_counter() - t_icp0)
-    raw_ok, raw_re, raw_te = registration_success(
-        r0.transform, jnp.asarray(T_gt)
-    )
-    e2e_ok, e2e_re, e2e_te = registration_success(
-        T_icp0, jnp.asarray(T_gt)
-    )
-    e2e_ok = bool(e2e_ok)
-    note(f"bench: e2e gate pair success={e2e_ok} "
-         f"(+ICP RE={float(e2e_re):.3f} deg, TE={float(e2e_te)*100:.1f} cm; "
-         f"raw RE={float(raw_re):.3f}, TE={float(raw_te)*100:.1f} cm; "
-         f"ICP {icp_ms:.0f} ms, first call)")
+
+    # ---- THREE-pair success gate over the hardest motion family ----------
+    # (GATE_MOTIONS; VERDICT r4 weak #4 — one pair is a knife edge). Every
+    # pair reuses the already-compiled fwd/register/ICP programs (identical
+    # shapes), so the extra pairs cost inference only, not compiles.
+    gate_rows = []
+    for gi, (g_ang, g_t) in enumerate(GATE_MOTIONS):
+        g_rng = np.random.default_rng(51 + gi)
+        g_a, g_b, g_T = build_pair(g_rng, ang_deg=g_ang, t_xyz=g_t)
+        g_st, g_xyz0, g_xyz1 = prepare_pair_sparse_input(
+            jnp.asarray(g_a), jnp.asarray(g_b), VOX, CAP
+        )
+        Fg = fwd(params, g_st)
+        rg = register(Fg.feats[:CAP], Fg.feats[CAP:], g_xyz0, g_xyz1,
+                      Fg.valid[:CAP], Fg.valid[CAP:],
+                      jax.random.PRNGKey(1000 + gi))
+        t_icp0 = time.perf_counter()
+        T_icp = icp_point_to_point(
+            g_xyz0, Fg.valid[:CAP], g_xyz1, Fg.valid[CAP:], rg.transform,
+            0.6, 10,
+        )
+        jax.block_until_ready(T_icp)
+        icp_ms = 1000 * (time.perf_counter() - t_icp0)
+        raw_ok, raw_re, raw_te = registration_success(
+            rg.transform, jnp.asarray(g_T)
+        )
+        g_ok, g_re, g_te = registration_success(T_icp, jnp.asarray(g_T))
+        gate_rows.append({
+            "ok": bool(g_ok),
+            "re_deg": round(float(g_re), 3),
+            "te_cm": round(float(g_te) * 100, 2),
+            "raw_ok": bool(raw_ok),
+            "raw_te_cm": round(float(raw_te) * 100, 2),
+        })
+        note(f"bench: e2e gate pair {gi} (yaw {g_ang[2]:+.0f} deg, "
+             f"|t| {np.linalg.norm(g_t):.1f} m): success={bool(g_ok)} "
+             f"(+ICP RE={float(g_re):.3f} deg, TE={float(g_te)*100:.1f} cm; "
+             f"raw RE={float(raw_re):.3f}, TE={float(raw_te)*100:.1f} cm; "
+             f"ICP {icp_ms:.0f} ms)")
+    e2e_ok = all(r["ok"] for r in gate_rows)
+    e2e_te = max(r["te_cm"] for r in gate_rows) / 100.0
+    raw_te = max(r["raw_te_cm"] for r in gate_rows) / 100.0
+    note(f"bench: e2e gate {sum(r['ok'] for r in gate_rows)}/"
+         f"{len(gate_rows)} pairs succeeded")
     note("bench: timing e2e path...")
     times_e2e, times_fwd = [], []
     for trial in range(7):
@@ -321,6 +391,8 @@ def main():
                     "fcgf_e2e_success": e2e_ok,
                     "fcgf_e2e_te_cm": round(float(e2e_te) * 100, 2),
                     "fcgf_e2e_te_raw_cm": round(float(raw_te) * 100, 2),
+                    "e2e_gate_pairs": gate_rows,
+                    "fast_pairs_per_sec": round(fast_pps, 3),
                     "solver_ms_min_med_max": [round(v, 1) for v in solver_spread],
                     "solver_pairs_per_sec_streaming": round(stream_pps, 3),
                     "e2e_ms_median": round(1000 * float(np.median(times_e2e)), 1),

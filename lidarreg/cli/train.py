@@ -55,6 +55,10 @@ def get_args(argv=None):
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--patience", type=int, default=0,
+                   help="stop after this many consecutive epochs without a "
+                        "val_metric improvement (0 = run all epochs) — the "
+                        "plateau criterion for train-to-convergence runs")
     p.add_argument("--use_mesh", type=str2bool, default=False,
                    help="shard the step over all devices (DP)")
     p.add_argument("--tiny", type=str2bool, default=False,
@@ -351,7 +355,7 @@ def main(argv=None):
                 out["final_trans"], b["gt_trans"], b["src_keypts"],
                 b["tgt_keypts"], out["final_labels"],
             )
-            return tl["recall"]
+            return tl["recall"], tl["TE"], tl["RE"]
 
         def val_metric(state):
             # FIXED pairs + fixed resampling each epoch: model_best must
@@ -359,15 +363,24 @@ def main(argv=None):
             # whichever pair the advancing train rng happens to draw.
             # Averaged over SEVERAL fixed pairs — a single-pair val recall
             # is 0/100 and promoted a lucky near-init OANet checkpoint that
-            # scored 0% on the 12-pair matrix (round-4 post-mortem).
+            # scored 0% on the 12-pair matrix (round-4 post-mortem) — with
+            # a CONTINUOUS error tie-breaker: recall over 8 pairs has 12.5%
+            # granularity and `vm > best` keeps the EARLIEST of tied
+            # checkpoints, so a near-init checkpoint tying the final one
+            # would win without it (round-4 ADVICE item 2).
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-            recalls = []
-            for vi in range(4):
+            recalls, errs = [], []
+            for vi in range(8):
                 b = sample_batch(val_ds, jax.random.PRNGKey(999 + vi),
                                  r=np.random.default_rng(999 + vi))
-                recalls.append(float(_val_recall(variables, b)))
-            return float(np.mean(recalls))
+                rec, te, re = _val_recall(variables, b)
+                recalls.append(float(rec))
+                # clip so one diverged pair can't dominate the tie-break
+                errs.append(min(float(te), 100.0) + min(float(re), 100.0))
+            # tie-break term < 0.2 total: never flips a real recall step
+            # (12.5 points), always separates equal-recall checkpoints
+            return float(np.mean(recalls)) - 1e-3 * float(np.mean(errs))
 
         params_of = lambda s: {"params": s.params, "batch_stats": s.batch_stats}  # noqa: E731
 
@@ -478,6 +491,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     best = -np.inf
     gstep = 0
+    stale = 0
     for epoch in range(args.epochs):
         for it in range(args.steps_per_epoch):
             key, sub = jax.random.split(key)
@@ -501,10 +515,17 @@ def main(argv=None):
         )
         if vm > best:
             best = vm
+            stale = 0
             save_variables(
                 os.path.join(outdir, "model_best.msgpack"), params_of(state),
                 config=vars(args), store_bf16=bf16,
             )
+        else:
+            stale += 1
+            if args.patience and stale >= args.patience:
+                tee(f"early stop at epoch {epoch}: val_metric plateaued "
+                    f"({stale} epochs without improvement)")
+                break
     tee(f"done; best val metric {best:.4f}; outputs in {outdir}")
     return outdir
 

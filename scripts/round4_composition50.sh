@@ -20,10 +20,23 @@ for m in pointdsc oanet dgr; do
     --epochs $ep --steps_per_epoch 50 --capacity 8192 \
     --outdir outputs/r4_${m}_fcgf50 2>&1 | tail -6
   best=outputs/r4_${m}_fcgf50/model_best.msgpack
-  [ -f "$best" ] || best=$(ls outputs/r4_${m}_fcgf50/model_*.msgpack 2>/dev/null | sort -V | tail -1)
+  if [ ! -f "$best" ]; then
+    # fall back to the last epoch checkpoint, but say so loudly — a weight
+    # installed without model_best provenance must be visible in the log
+    # (round-4 ADVICE item 4)
+    best=$(ls outputs/r4_${m}_fcgf50/model_*.msgpack 2>/dev/null | sort -V | tail -1)
+    echo "WARNING: $m model_best.msgpack missing; installing last-epoch ${best:-<none>}"
+  fi
   if [ -n "$best" ] && [ -f "$best" ]; then
+    echo "installing weights/${m}_fcgf_trained.msgpack <- $best"
     cp "$best" weights/${m}_fcgf_trained.msgpack
-    cp "${best}.config.json" weights/${m}_fcgf_trained.msgpack.config.json 2>/dev/null || true
+    if ! cp "${best}.config.json" weights/${m}_fcgf_trained.msgpack.config.json; then
+      echo "ERROR: config snapshot ${best}.config.json missing — weight/config pair would disagree" >&2
+      exit 1
+    fi
+  else
+    echo "ERROR: no checkpoint produced for $m" >&2
+    exit 1
   fi
 done
 

@@ -40,15 +40,29 @@ import jax.numpy as jnp
 from lidarreg.solvers import RansacConfig, ransac_register
 
 
-def timed(fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out.transform)
+def timed(fn, src, tgt, keep, n=5, depth=4):
+    """Streaming fetch-forced timing: `depth` calls in flight with a
+    FRESH PRNGKey each, then ONE host fetch of every transform; per-call
+    time = wall / depth, min over n trials.
+
+    Why not per-call block_until_ready: on the tunneled backend
+    block_until_ready can return BEFORE execution for static programs
+    (round-5 sync probe: an 8x4096^3 matmul chain "timed" 0.07 ms against
+    a >=5 ms physical floor; the solver's while_loop variant times
+    correctly, the fixed-budget confidence=0.0 variant does not). A
+    np.asarray fetch of the 4x4 transform is the only sync primitive
+    that held in every probe; streaming depth amortizes its ~20-30 ms
+    tunnel RTT to noise level."""
+    _ = np.asarray(fn(src, tgt, keep, jax.random.PRNGKey(0)).transform)
     ts = []
-    for _ in range(n):
+    for trial in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out.transform)
-        ts.append(time.perf_counter() - t0)
+        outs = [
+            fn(src, tgt, keep, jax.random.PRNGKey(1 + trial * depth + k))
+            for k in range(depth)
+        ]
+        _ = [np.asarray(o.transform) for o in outs]
+        ts.append((time.perf_counter() - t0) / depth)
     return min(ts) * 1e3
 
 
@@ -81,7 +95,7 @@ def main():
                     s, t, k, ky, cfg
                 )
             )
-            ms = timed(f, src, tgt, keep, key)
+            ms = timed(f, src, tgt, keep)
             rows.append((n_chunks, m0, ms))
             print(f"chunks={n_chunks:3d} M0={m0:5d}: {ms:8.2f} ms",
                   flush=True)

@@ -55,6 +55,14 @@ def get_args(argv=None):
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--rot_augment", type=str2bool, default=True,
+                   help="fcgf: per-cloud almost-planar [5,5,180]-deg "
+                        "rotation augmentation (the reference training "
+                        "protocol, FCGF_FAST/dataloader/"
+                        "generic_balanced_loader.py:37-53). Training "
+                        "without it leaves descriptors yaw-variant: the "
+                        "round-5 N=200 Apollo matrix measured 0% recall "
+                        "above 45 deg yaw on the unaugmented encoder")
     p.add_argument("--patience", type=int, default=0,
                    help="stop after this many consecutive epochs without a "
                         "val_metric improvement (0 = run all epochs) — the "
@@ -135,6 +143,10 @@ def main(argv=None):
         def sample_batch(ds, key):
             i = int(rng.integers(len(ds)))
             T, a, b = ds.get_pair(i)
+            if args.rot_augment:
+                from ..data.augment import rotation_augment_pair
+
+                T, a, b = rotation_augment_pair(rng, T, a, b)
             st0, xyz0 = voxelized(a)
             st1, xyz1 = voxelized(b)
             return {
@@ -186,9 +198,22 @@ def main(argv=None):
             # matchability-collapse section).
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
+            probes = [(k, 0.0) for k in range(4)]
+            if args.rot_augment:
+                # deterministic large-yaw probes: matchability must hold
+                # under rotation, not just on the raw (mostly small-yaw)
+                # validation motions — selecting on raw-only is how the
+                # round-4 encoder shipped 0% recall above 45 deg yaw
+                probes += [(k, 45.0 + 45.0 * k) for k in range(4)]
             ratios = []
-            for k in range(4):
+            for k, yaw in probes:
                 T, a, b = val_ds.get_pair(k % len(val_ds))
+                if yaw:
+                    from ..data.augment import yaw_rotation_4x4
+
+                    M = yaw_rotation_4x4(yaw)
+                    a = (a @ M[:3, :3].T).astype(a.dtype)
+                    T = np.asarray(T, np.float64) @ M.T  # inv = transpose
                 st0, xyz0 = voxelized(a)
                 st1, xyz1 = voxelized(b)
                 F0, m0, F1, m1 = _val_feats(variables, st0, st1)

@@ -44,6 +44,44 @@ def sample_almost_planar_rotation(
     return M
 
 
+def rotation_augment_pair(
+    rng: np.random.Generator,
+    T: np.ndarray,
+    cloud_a: np.ndarray,
+    cloud_b: np.ndarray,
+    max_angles_deg=(5.0, 5.0, 180.0),
+):
+    """Per-cloud almost-planar rotation augmentation for pair training.
+
+    Each cloud gets its own random rotation M0/M1 and the GT motion is
+    composed as T' = M1 @ T @ M0^{-1} so that T' still maps the augmented
+    source onto the augmented target — the reference's
+    `trans = T1 @ M2 @ inv(T0)` protocol
+    (Experiments/dataloader/generic_balanced_loader.py:32-98;
+    FCGF_FAST/dataloader/generic_balanced_loader.py:37-53 applies the same
+    [5, 5, 180]-degree rotation in FCGF training). Training WITHOUT this is
+    what made the round-4 encoder collapse above ~45 degrees of yaw
+    (BASELINE.md round-5 N=200 matrix: recall 100% below 15 deg yaw, 0%
+    above 45 deg).
+    """
+    M0 = sample_almost_planar_rotation(rng, max_angles_deg)
+    M1 = sample_almost_planar_rotation(rng, max_angles_deg)
+    a = cloud_a @ M0[:3, :3].T
+    b = cloud_b @ M1[:3, :3].T
+    # rotation-only 4x4: inverse is the transpose
+    M0_inv = np.eye(4)
+    M0_inv[:3, :3] = M0[:3, :3].T
+    T_new = M1 @ np.asarray(T, np.float64) @ M0_inv
+    return T_new, a.astype(cloud_a.dtype), b.astype(cloud_b.dtype)
+
+
+def yaw_rotation_4x4(yaw_deg: float) -> np.ndarray:
+    """Deterministic pure-yaw motion (validation-time rotation probes)."""
+    M = np.eye(4)
+    M[:3, :3] = euler_deg_to_rotation(np.array([0.0, 0.0, yaw_deg]))
+    return M
+
+
 def random_rotation_matrix(
     rng: np.random.Generator, num_axis: int, augment_rotation: float
 ) -> np.ndarray:

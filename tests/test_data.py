@@ -89,6 +89,40 @@ class TestAugment:
         # roll/pitch small: R = Rz Ry Rx -> z-axis stays near vertical
         assert abs(R[2, 2]) > np.cos(np.radians(7.1))
 
+    def test_rotation_augment_pair_preserves_alignment(self, rng):
+        """T' must map the augmented source onto the augmented target
+        exactly (reference composition `trans = T1 @ M2 @ inv(T0)`,
+        Experiments/dataloader/generic_balanced_loader.py:32-98)."""
+        from lidarreg.data.augment import rotation_augment_pair
+
+        a = rng.uniform(-30, 30, (64, 3))
+        T = np.eye(4)
+        T[:3, :3] = sample_almost_planar_rotation(rng)[:3, :3]
+        T[:3, 3] = [5.0, -2.0, 0.3]
+        b = a @ T[:3, :3].T + T[:3, 3]  # exact correspondences
+        T2, a2, b2 = rotation_augment_pair(rng, T, a, b)
+        warped = a2 @ T2[:3, :3].T + T2[:3, 3]
+        np.testing.assert_allclose(warped, b2, atol=1e-8)
+        # the augmentation actually rotated something
+        assert not np.allclose(a2, a) and not np.allclose(b2, b)
+
+    def test_yaw_rotation_probe_composition(self, rng):
+        """Validation-time yaw probe: rotating the source by M and using
+        T @ M.T keeps GT alignment (cli.train fcgf val_metric math)."""
+        from lidarreg.data.augment import yaw_rotation_4x4
+
+        a = rng.uniform(-30, 30, (64, 3))
+        T = np.eye(4)
+        T[:3, :3] = sample_almost_planar_rotation(rng)[:3, :3]
+        T[:3, 3] = [5.0, -2.0, 0.3]
+        b = a @ T[:3, :3].T + T[:3, 3]
+        M = yaw_rotation_4x4(135.0)
+        np.testing.assert_allclose(M @ M.T, np.eye(4), atol=1e-12)
+        a2 = a @ M[:3, :3].T
+        T2 = T @ M.T
+        np.testing.assert_allclose(a2 @ T2[:3, :3].T + T2[:3, 3], b,
+                                   atol=1e-8)
+
 
 class TestPipeline:
     def test_prepare_sparse_input(self, rng):

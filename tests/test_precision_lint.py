@@ -28,6 +28,10 @@ ALLOWED_NUMPY_LINES = {
     ("cli/multiway.py", "dirs = d @ Rwc.T"),
     # me_oracle: dense numpy reference oracle, test-only by design
     ("models/me_oracle.py", "out[o] += feats_in[row] @ weights_me[j]"),
+    # cli/train fcgf val yaw probes: host-side numpy float64 on the raw
+    # clouds/motions BEFORE device transfer (test_data.py pins the math)
+    ("cli/train.py", "a = (a @ M[:3, :3].T).astype(a.dtype)"),
+    ("cli/train.py", "T = np.asarray(T, np.float64) @ M.T  # inv = transpose"),
 }
 
 

@@ -252,7 +252,8 @@ def main():
     # preference order = measured NN-inlier-ratio/recall ranking in
     # BASELINE.md, NOT training length (the 100-epoch runs collapse —
     # see the matchability-collapse section)
-    for name in ("fcgf_textured_50ep.msgpack",
+    for name in ("fcgf_rotaug_40ep.msgpack",
+                 "fcgf_textured_50ep.msgpack",
                  "fcgf_textured_20ep.msgpack",
                  "fcgf_synthetic_25ep.msgpack",
                  "fcgf_distinct_100ep.msgpack",
